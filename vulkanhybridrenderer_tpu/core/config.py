@@ -1,0 +1,93 @@
+"""Render configuration.
+
+The reference configures everything through compile-time constants + ImGui state that
+reaches shaders as specialization constants (hybrid_render_path.cpp:362-369,
+pipeline.cpp:25-43).  Here the same knobs are frozen dataclasses used as *static* jit
+arguments: each distinct config traces/compiles its own frame function, exactly like
+the reference builds a new pipeline per spec-constant tuple.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class ShadowMode(enum.IntEnum):  # common.glsl:13-16
+    RAYTRACED = 0
+    RASTERIZED = 1
+    OFF = 2
+
+
+class AmbientOcclusionMode(enum.IntEnum):  # common.glsl:18-21
+    RAYTRACED = 0
+    SSAO = 1
+    OFF = 2
+
+
+class ReflectionMode(enum.IntEnum):  # common.glsl:23-26
+    RAYTRACED = 0
+    SSR = 1
+    OFF = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SSAOSettings:
+    radius: float = 0.75  # hybrid_render_path.cpp default
+
+
+@dataclasses.dataclass(frozen=True)
+class SSRSettings:
+    """SSRPushConstants defaults (hybrid_render_path.cpp:203-208)."""
+
+    ray_distance: float = 20.0
+    step_size: float = 0.1
+    thickness: float = 0.75
+    bsearch_steps: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridSettings:
+    """Hybrid path modes (defaults mirror hybrid_render_path.h:32-35: RT shadows on,
+    AO off, reflections off, denoise off)."""
+
+    shadow_mode: ShadowMode = ShadowMode.RAYTRACED
+    ao_mode: AmbientOcclusionMode = AmbientOcclusionMode.OFF
+    reflection_mode: ReflectionMode = ReflectionMode.OFF
+    denoise: bool = False
+    ssao: SSAOSettings = dataclasses.field(default_factory=SSAOSettings)
+    ssr: SSRSettings = dataclasses.field(default_factory=SSRSettings)
+
+
+@dataclasses.dataclass(frozen=True)
+class ForwardSettings:
+    """Forward raster path (forward_raster_render_path.h:14); MSAA is expressed as an
+    ordered-grid supersample factor on TPU."""
+
+    msaa_samples: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RaytracedSettings:
+    """Full-RT path (raytraced_render_path.h:14)."""
+
+    test_alpha: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class RayquerySettings:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Top-level static configuration for one compiled frame function."""
+
+    width: int = 1920
+    height: int = 1080
+    shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
+    shadow_rays: int = 4  # raygen.rgen:39-41 loop count
+    ao_rays: int = 2  # raygen.rgen:45-55
+    hybrid: HybridSettings = dataclasses.field(default_factory=HybridSettings)
+    forward: ForwardSettings = dataclasses.field(default_factory=ForwardSettings)
+    raytraced: RaytracedSettings = dataclasses.field(default_factory=RaytracedSettings)
+    rayquery: RayquerySettings = dataclasses.field(default_factory=RayquerySettings)
