@@ -1,0 +1,165 @@
+"""G-buffer resolve: visibility buffer -> full G-buffer.
+
+Implements the fragment-shader side of the hybrid G-buffer pass (gbuf.frag:17-59) as
+one batched gather+math op over the whole image: perspective-correct attribute
+interpolation, base-color texturing with alpha handling, normal mapping, motion
+vectors from previous-frame reprojection, metallic/roughness.
+
+Parity notes (all cited to gbuf.frag):
+  * normal mapping happens in *object* space on the interpolated vertex normal and
+    tangent, then transforms by the primitive's normal matrix (:33-41);
+  * the bitangent is cross(sampled_tangent_space_normal, tangent.xyz) * tangent.w --
+    the reference's exact (unusual) formula (:36);
+  * metallic multiplies by the G channel and roughness by the B channel of the
+    metallic-roughness texture (:51-55) -- note this is swapped relative to the glTF
+    spec, kept for pixel parity;
+  * motion vector = current pixel uv - previous-frame NDC*0.5+0.5, using the
+    *current* model transform with previous view/proj (gbuf.vert:26, frag:44-46);
+  * clear values: albedo/normal+oid = 0, motion+mr = (0, 0, -1, -1), depth = 0
+    (hybrid_render_path.cpp:16-19).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vulkanhybridrenderer_tpu.core.types import GBuffer, PerFrameData, SceneBuffers
+from vulkanhybridrenderer_tpu.ops.geometry import WorldGeometry
+from vulkanhybridrenderer_tpu.ops.rasterizer import VisibilityBuffer
+from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
+from vulkanhybridrenderer_tpu.utils.math3d import normalize, transform_points
+
+
+def perspective_weights(bary2, inv_w3):
+    """Screen barycentrics (…, 2) + per-vertex 1/w (…, 3) -> perspective-correct
+    weights (…, 3)."""
+    l1 = bary2[..., 0]
+    l2 = bary2[..., 1]
+    l0 = 1.0 - l1 - l2
+    pw = jnp.stack([l0, l1, l2], axis=-1) * inv_w3
+    return pw / jnp.sum(pw, axis=-1, keepdims=True)
+
+
+def interpolate(attr_v, vidx, weights):
+    """attr_v: (V, K) vertex attribute; vidx: (..., 3); weights: (..., 3) -> (..., K)."""
+    a = attr_v[vidx]  # (..., 3, K)
+    return jnp.sum(a * weights[..., None], axis=-2)
+
+
+def make_alpha_frag_mask(scene: SceneBuffers, clip):
+    """Per-fragment alpha kill for the rasterizer (gbuf.frag:27-32): fragments with
+    (alpha_mask && a < cutoff) or a == 0 are discarded during depth testing.
+
+    Returns frag_mask_fn(tri_ids (C,), lam (C,H,W,3), w_inv (C,3)) -> keep (C,H,W).
+    """
+
+    def frag_mask(tri_ids, lam, w_inv):
+        prim = scene.tri_prim[tri_ids]  # (C,)
+        tex = scene.materials.base_color_texture[prim]
+        masked = scene.materials.alpha_mask[prim] == 1
+        cutoff = scene.materials.alpha_cutoff[prim]
+        needs_test = masked & (tex >= 0)
+        # perspective-correct uv per fragment
+        vidx = scene.tri_vertex[tri_ids]  # (C, 3)
+        pw = lam * w_inv[:, None, None, :]
+        pw = pw / jnp.sum(pw, axis=-1, keepdims=True)
+        uvv = scene.uv0[vidx]  # (C, 3, 2)
+        uv = jnp.einsum("chwk,ckj->chwj", pw, uvv)
+        alpha = sample_atlas_bilinear(
+            scene.atlas, tex[:, None, None] * jnp.ones_like(tri_ids[:, None, None]), uv
+        )[..., 3]
+        kill = needs_test[:, None, None] & (alpha < cutoff[:, None, None])
+        return ~kill
+
+    return frag_mask
+
+
+def resolve_gbuffer(
+    scene: SceneBuffers,
+    world: WorldGeometry,
+    clip,
+    vis: VisibilityBuffer,
+    pfd: PerFrameData,
+) -> GBuffer:
+    """vis -> GBuffer (albedo, world normal + object id, motion + metallic/roughness,
+    depth).  `clip` is the (V, 4) clip-space vertex buffer from the raster pass."""
+    h, w = vis.tri_id.shape
+    valid = vis.tri_id >= 0
+    tri = jnp.maximum(vis.tri_id, 0)
+    vidx = scene.tri_vertex[tri]  # (H, W, 3)
+    prim = scene.tri_prim[tri]  # (H, W)
+    mats = scene.materials
+
+    inv_w = 1.0 / jnp.maximum(clip[vidx][..., 3], 1e-9)  # (H, W, 3)
+    wts = perspective_weights(vis.bary, inv_w)
+
+    uv = interpolate(scene.uv0, vidx, wts)  # (H, W, 2)
+    n_obj = interpolate(scene.normals, vidx, wts)
+    tan_obj = interpolate(scene.tangents, vidx, wts)
+    pos_world = interpolate(world.position, vidx, wts)
+
+    # ---- albedo (gbuf.frag:19-33) --------------------------------------------
+    base_tex = mats.base_color_texture[prim]
+    albedo = sample_or_factor(scene.atlas, base_tex, uv, mats.base_color[prim])
+
+    # ---- normal mapping in object space (gbuf.frag:35-41) ---------------------
+    nm_tex = mats.normal_map[prim]
+    has_nm = nm_tex >= 0
+    ts_n = sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
+    ts_n = normalize(ts_n)
+    bitangent = (
+        jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
+    )  # reference's exact formula (gbuf.frag:36)
+    t_ortho = normalize(
+        tan_obj[..., :3]
+        - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
+    )
+    n_mapped = (
+        t_ortho * ts_n[..., 0:1] + bitangent * ts_n[..., 1:2] + n_obj * ts_n[..., 2:3]
+    )
+    n_final_obj = jnp.where(has_nm[..., None], n_mapped, n_obj)
+
+    nm_mat = scene.prim_normal_mat[prim]  # (H, W, 4, 4)
+    n_world = normalize(
+        jnp.einsum("hwij,hwj->hwi", nm_mat[..., :3, :3], n_final_obj)
+    )
+
+    # ---- motion vectors (gbuf.vert:26, gbuf.frag:43-46) ------------------------
+    xx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
+    yy = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    cur_uv = jnp.concatenate(
+        [jnp.broadcast_to(xx, (h, w))[..., None], jnp.broadcast_to(yy, (h, w))[..., None]],
+        axis=-1,
+    )
+    prev_vp = pfd.camera_proj_prev_frame @ pfd.camera_view_prev_frame
+    prev_clip = transform_points(prev_vp, pos_world)  # (H, W, 4)
+    prev_ndc = prev_clip[..., :2] / prev_clip[..., 3:4]
+    motion = cur_uv - (prev_ndc * 0.5 + 0.5)
+
+    # ---- metallic / roughness (gbuf.frag:48-55; G/B swap kept) -----------------
+    mr_tex = mats.metallic_roughness_texture[prim]
+    mr = sample_atlas_bilinear(scene.atlas, mr_tex, uv)
+    metallic = mats.metallic_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
+    roughness = mats.roughness_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+
+    # ---- assemble with clear values -------------------------------------------
+    v = valid
+    vf = v[..., None]
+    albedo_out = jnp.where(vf, albedo, 0.0)
+    normal_oid = jnp.where(
+        vf,
+        jnp.concatenate([n_world, prim[..., None].astype(jnp.float32)], axis=-1),
+        0.0,
+    )
+    motion_mr = jnp.where(
+        vf,
+        jnp.concatenate(
+            [motion, metallic[..., None], roughness[..., None]], axis=-1
+        ),
+        jnp.array([0.0, 0.0, -1.0, -1.0]),
+    )
+    return GBuffer(
+        albedo=albedo_out.transpose(2, 0, 1),
+        normal_oid=normal_oid.transpose(2, 0, 1),
+        motion_mr=motion_mr.transpose(2, 0, 1),
+        depth=vis.depth,
+    )

@@ -253,7 +253,7 @@ def cornell_box() -> Scene:
         yaw=0.0,
         pitch=0.0,
         roll=0.0,
-        position=np.array([0.0, 2.0, 6.2], np.float32),
+        position=np.array([0.0, 2.0, 5.0], np.float32),
     )
     light = make_directional_light([0.25, -0.9, -0.35], intensity=4.0)
     return b.build("CornellBox", cam, light)
