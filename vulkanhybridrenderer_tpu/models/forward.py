@@ -1,0 +1,93 @@
+"""Forward raster render path (reference forward_raster_render_path.cpp:11-96).
+
+Passes:
+  Geometry       -- vertex transforms (world + camera clip + light clip)
+  Depth Prepass  -- 4096^2 shadow map from the light (depth-only)
+  Forward Pass   -- lit forward shading -> RENDER_OUTPUT
+
+MSAA (forward_raster_render_path.cpp:59: max-sample-count MSAA twin images) is
+realized as ordered-grid supersampling: rasterize + shade at k*resolution and box
+filter down, the natural TPU equivalent of multisampled attachments + resolve.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGraph
+from vulkanhybridrenderer_tpu.models.base import RenderPath
+from vulkanhybridrenderer_tpu.ops import geometry, gbuffer, rasterizer, shade, shadowmap
+
+
+def add_geometry_pass(graph: RenderGraph):
+    """Shared vertex-transform pass: object -> world -> camera/light clip space."""
+
+    def fn(res):
+        scene = res["scene"]
+        pfd = res["pfd"]
+        world = geometry.to_world(scene, res.get("prim_transform"))
+        viewproj = pfd.camera_proj @ pfd.camera_view
+        clip = geometry.to_clip(world.position, viewproj)
+        clip_light = geometry.to_clip(
+            world.position, pfd.directional_light.projview
+        )
+        return {"World": world, "Clip": clip, "LightClip": clip_light}
+
+    graph.add_pass(
+        "Geometry",
+        fn,
+        inputs=("scene", "pfd", "prim_transform"),
+        outputs=("World", "Clip", "LightClip"),
+    )
+
+
+def add_shadow_map_pass(graph: RenderGraph, size: int, chunk: int = 256):
+    """Depth prepass into the shadow map (forward_raster_render_path.cpp:13-41)."""
+
+    def fn(res):
+        scene = res["scene"]
+        return {
+            "Shadow Map": shadowmap.render_shadow_map(
+                res["LightClip"], scene.tri_vertex, size, chunk=chunk
+            )
+        }
+
+    graph.add_pass(
+        "Depth Prepass", fn, inputs=("scene", "LightClip"), outputs=("Shadow Map",)
+    )
+
+
+class ForwardRasterPath(RenderPath):
+    name = "forward"
+
+    def register(self, graph: RenderGraph) -> None:
+        cfg = self.config
+        ss = max(1, int(math.isqrt(max(1, cfg.forward.msaa_samples))))
+        w, h = cfg.width * ss, cfg.height * ss
+
+        add_geometry_pass(graph)
+        add_shadow_map_pass(graph, cfg.shadow_map_size)
+
+        def forward_pass(res):
+            scene = res["scene"]
+            pfd = res["pfd"]
+            clip = res["Clip"]
+            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
+            mask_fn = gbuffer.make_alpha_frag_mask(scene, clip)
+            vis = rasterizer.rasterize(setup, w, h, frag_mask_fn=mask_fn)
+            attrs = shade.resolve_forward_attributes(scene, res["World"], clip, vis)
+            # The reference samples the shadow map but forces shadow = 1.0
+            # (default.frag:79); forward_shade(None) reproduces that.
+            img = shade.forward_shade(attrs, pfd, shadow=None)
+            if ss > 1:  # MSAA resolve: box filter the supersampled image
+                c = img.shape[0]
+                img = img.reshape(c, cfg.height, ss, cfg.width, ss).mean(axis=(2, 4))
+            return {RENDER_OUTPUT: img}
+
+        graph.add_pass(
+            "Forward Pass",
+            forward_pass,
+            inputs=("scene", "pfd", "World", "Clip", "Shadow Map"),
+            outputs=(RENDER_OUTPUT,),
+        )

@@ -1,0 +1,144 @@
+"""Host frame driver (reference Renderer, renderer.cpp).
+
+Owns the scene, the active render path, the compiled frame function cache, temporal
+state, previous-frame matrices, and per-pass statistics.  The fence/acquire/submit
+dance of Renderer::Present (renderer.cpp:103-182) collapses into a single jitted call
+with donated temporal state; render-path/mode switches re-jit (the reference rebuilds
+pipelines, renderer.cpp:159-181) and compiled variants are cached per config.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from vulkanhybridrenderer_tpu.core.config import RenderConfig
+from vulkanhybridrenderer_tpu.core.types import (
+    PerFrameData,
+    make_per_frame_data,
+    make_temporal_state,
+)
+from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, PassStats
+from vulkanhybridrenderer_tpu.models.base import get_path
+from vulkanhybridrenderer_tpu.runtime import camera as cam_ctl
+from vulkanhybridrenderer_tpu.scene.gltf import Scene
+from vulkanhybridrenderer_tpu.utils.image import save_png
+
+
+class Renderer:
+    def __init__(self, scene: Scene, config: RenderConfig | None = None,
+                 path: str = "hybrid"):
+        self.scene = scene
+        self.config = config or RenderConfig()
+        self.path_name = path
+        self.stats = PassStats()
+        self.frame_index = 0
+        self._prev_view: np.ndarray | None = None
+        self._prev_proj: np.ndarray | None = None
+        self._frame_fns: dict[Any, Any] = {}
+        self._graphs: dict[Any, Any] = {}
+        self.temporal_state = make_temporal_state(self.config.height, self.config.width)
+        self.prim_transform = scene.buffers.prim_transform
+
+    # -- path / config switching (renderer.cpp:159-181) ---------------------------
+    def set_path(self, name: str):
+        self.path_name = name
+
+    def set_config(self, config: RenderConfig):
+        if (config.width, config.height) != (self.config.width, self.config.height):
+            self.temporal_state = make_temporal_state(config.height, config.width)
+        self.config = config
+
+    def _key(self):
+        return (self.path_name, self.config)
+
+    def _get_frame_fn(self):
+        key = self._key()
+        if key not in self._frame_fns:
+            path = get_path(self.path_name, self.config)
+            graph = path.build_graph()
+            keep = ("TemporalStateOut",) if path.uses_temporal_state else ()
+            fn = graph.make_frame_fn(RENDER_OUTPUT, keep=keep)
+            self._graphs[key] = graph
+            self._frame_fns[key] = (jax.jit(fn), path)
+        return self._frame_fns[key]
+
+    # -- per-frame data (renderer.cpp:187-205) -------------------------------------
+    def _make_pfd(self) -> PerFrameData:
+        cam = self.scene.camera
+        view = cam.view()
+        proj = cam.projection(aspect=self.config.width / self.config.height)
+        pfd = make_per_frame_data(
+            view,
+            proj,
+            self.scene.light,
+            self.config.width,
+            self.config.height,
+            frame_index=self.frame_index,
+            prev_view=self._prev_view,
+            prev_proj=self._prev_proj,
+        )
+        self._prev_view, self._prev_proj = view, proj
+        return pfd
+
+    def _resources(self, pfd):
+        return {
+            "scene": self.scene.buffers,
+            "pfd": pfd,
+            "prim_transform": self.prim_transform,
+            "temporal_state": self.temporal_state,
+        }
+
+    # -- frame loop -----------------------------------------------------------------
+    def render_frame(self, sync: bool = True):
+        """Render one frame; returns the (4, H, W) linear RENDER_OUTPUT (device)."""
+        fn, path = self._get_frame_fn()
+        pfd = self._make_pfd()
+        t0 = time.perf_counter()
+        out = fn(self._resources(pfd))
+        if sync:
+            jax.block_until_ready(out)
+            self.stats.update_frame((time.perf_counter() - t0) * 1e3)
+        if path.uses_temporal_state:
+            self.temporal_state = out["TemporalStateOut"]
+        self.frame_index += 1
+        return out[RENDER_OUTPUT]
+
+    def update_camera(self, dt, keys=frozenset(), mouse_delta=(0.0, 0.0),
+                      mouse_down=False):
+        cam_ctl.update_camera(self.scene.camera, dt, keys, mouse_delta, mouse_down)
+
+    def animate(self, prim_transform):
+        """Set this frame's primitive transforms (animated scenes)."""
+        self.prim_transform = prim_transform
+
+    # -- observability ---------------------------------------------------------------
+    def time_passes(self, iters: int = 5) -> dict[str, float]:
+        """Per-pass attribution table (reference perf-stats window)."""
+        key = self._key()
+        self._get_frame_fn()
+        graph = self._graphs[key]
+        pfd = self._make_pfd()
+        timings = graph.time_passes(self._resources(pfd), iters=iters)
+        self.stats.update(timings)
+        return timings
+
+    def debug_dump(self, resource: str, path: str, srgb: bool = True):
+        """Render and save any named graph resource as PNG (the reference's
+        debug-texture viewer, user_interface.cpp:129-150)."""
+        key = self._key()
+        fn, _ = self._get_frame_fn()
+        graph = self._graphs[key]
+        pfd = self._make_pfd()
+        res = graph.run(self._resources(pfd))
+        arr = np.asarray(res[resource])
+        save_png(path, arr, srgb=srgb)
+        return arr
+
+    def save_frame(self, path: str):
+        img = np.asarray(self.render_frame())
+        save_png(path, img)
+        return img

@@ -236,7 +236,7 @@ def cornell_box() -> Scene:
 
     q = quad_mesh((1.0, 1.0))
     b.add(q, translate([0, 0, 0]) @ scale_mat([2, 1, 2]), **white)  # floor
-    b.add(q, translate([0, 4, 0]) @ scale_mat([2, -1, 2]), **white)  # ceiling (flipped)
+    b.add(box_mesh((2.0, 0.05, 2.0)), translate([0, 4.05, 0]), **white)  # ceiling
     # walls: rotate quad up
     wall = box_mesh((2.0, 2.0, 0.05))
     b.add(wall, translate([0, 2, -2]), **white)  # back
@@ -312,7 +312,7 @@ def sponza_proxy(columns=12, segments=24, extra_boxes=220, seed=7,
     b.add(box_mesh((L / 2, H / 2, 0.2)), translate([0, H / 2, W_ / 2]), **wall_mat)
     b.add(box_mesh((0.2, H / 2, W_ / 2)), translate([-L / 2, H / 2, 0]), **wall_mat)
     b.add(box_mesh((0.2, H / 2, W_ / 2)), translate([L / 2, H / 2, 0]), **wall_mat)
-    b.add(quad_mesh((1, 1)), translate([0, H, 0]) @ scale_mat([L / 2, -1, W_ / 2]), **wall_mat)
+    b.add(box_mesh((L / 2, 0.2, W_ / 2)), translate([0, H + 0.2, 0]), **wall_mat)
 
     cyl = cylinder_mesh(0.35, 4.0, segments)
     for i in range(columns):
@@ -351,7 +351,7 @@ def sponza_proxy(columns=12, segments=24, extra_boxes=220, seed=7,
         yfov=np.deg2rad(65.0),
         znear=0.1,
         aspect=16 / 9,
-        yaw=np.deg2rad(90.0),
+        yaw=np.deg2rad(-90.0),
         pitch=np.deg2rad(-8.0),
         position=np.array([-L / 2 + 1.5, 2.2, 0.0], np.float32),
     )
