@@ -84,6 +84,8 @@ class RenderConfig:
 
     width: int = 1920
     height: int = 1080
+    #: animated scenes refit the LBVH every frame inside the frame function
+    animated: bool = False
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     shadow_rays: int = 4  # raygen.rgen:39-41 loop count
     ao_rays: int = 2  # raygen.rgen:45-55

@@ -13,49 +13,10 @@ from __future__ import annotations
 
 import math
 
-import jax.numpy as jnp
-
 from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGraph
 from vulkanhybridrenderer_tpu.models.base import RenderPath
-from vulkanhybridrenderer_tpu.ops import geometry, gbuffer, rasterizer, shade, shadowmap
-
-
-def add_geometry_pass(graph: RenderGraph):
-    """Shared vertex-transform pass: object -> world -> camera/light clip space."""
-
-    def fn(res):
-        scene = res["scene"]
-        pfd = res["pfd"]
-        world = geometry.to_world(scene, res.get("prim_transform"))
-        viewproj = pfd.camera_proj @ pfd.camera_view
-        clip = geometry.to_clip(world.position, viewproj)
-        clip_light = geometry.to_clip(
-            world.position, pfd.directional_light.projview
-        )
-        return {"World": world, "Clip": clip, "LightClip": clip_light}
-
-    graph.add_pass(
-        "Geometry",
-        fn,
-        inputs=("scene", "pfd", "prim_transform"),
-        outputs=("World", "Clip", "LightClip"),
-    )
-
-
-def add_shadow_map_pass(graph: RenderGraph, size: int, chunk: int = 256):
-    """Depth prepass into the shadow map (forward_raster_render_path.cpp:13-41)."""
-
-    def fn(res):
-        scene = res["scene"]
-        return {
-            "Shadow Map": shadowmap.render_shadow_map(
-                res["LightClip"], scene.tri_vertex, size, chunk=chunk
-            )
-        }
-
-    graph.add_pass(
-        "Depth Prepass", fn, inputs=("scene", "LightClip"), outputs=("Shadow Map",)
-    )
+from vulkanhybridrenderer_tpu.models.passes import add_geometry_pass, add_shadow_map_pass
+from vulkanhybridrenderer_tpu.ops import gbuffer, rasterizer, shade
 
 
 class ForwardRasterPath(RenderPath):

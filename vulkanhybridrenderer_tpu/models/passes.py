@@ -1,0 +1,64 @@
+"""Shared pass builders used by multiple render paths."""
+from __future__ import annotations
+
+from vulkanhybridrenderer_tpu.graph.render_graph import RenderGraph
+from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
+from vulkanhybridrenderer_tpu.ops import geometry, shadowmap
+
+
+def add_geometry_pass(graph: RenderGraph):
+    """Vertex transforms: object -> world -> camera/light clip space (the vertex
+    shader stage of every raster pass, gbuf.vert / depth_prepass.vert)."""
+
+    def fn(res):
+        scene = res["scene"]
+        pfd = res["pfd"]
+        world = geometry.to_world(scene, res.get("prim_transform"))
+        viewproj = pfd.camera_proj @ pfd.camera_view
+        clip = geometry.to_clip(world.position, viewproj)
+        clip_light = geometry.to_clip(world.position, pfd.directional_light.projview)
+        tris = bvh_ops.world_triangles(world.position, scene.tri_vertex)
+        return {"World": world, "Clip": clip, "LightClip": clip_light,
+                "WorldTris": tris}
+
+    graph.add_pass(
+        "Geometry",
+        fn,
+        inputs=("scene", "pfd", "prim_transform"),
+        outputs=("World", "Clip", "LightClip", "WorldTris"),
+    )
+
+
+def add_shadow_map_pass(graph: RenderGraph, size: int, chunk: int = 256):
+    """Depth-only prepass into the shadow map from the light's view
+    (forward_raster_render_path.cpp:13-41 / hybrid_render_path.cpp:60-96)."""
+
+    def fn(res):
+        scene = res["scene"]
+        return {
+            "Shadow Map": shadowmap.render_shadow_map(
+                res["LightClip"], scene.tri_vertex, size, chunk=chunk
+            )
+        }
+
+    graph.add_pass(
+        "Depth Prepass", fn, inputs=("scene", "LightClip"), outputs=("Shadow Map",)
+    )
+
+
+def add_bvh_pass(graph: RenderGraph, animated: bool):
+    """Acceleration-structure pass.  Static scenes reuse the prebuilt LBVH (the
+    reference builds BLAS/TLAS once at scene load, resource_manager.cpp:291-307);
+    animated scenes refit the AABBs from this frame's world triangles every frame
+    (the analogue of re-running UpdateBLAS on geometry update)."""
+
+    if animated:
+        def fn(res):
+            return {"BVH": bvh_ops.refit(res["bvh"], res["WorldTris"])}
+
+        graph.add_pass("BVH Refit", fn, inputs=("bvh", "WorldTris"), outputs=("BVH",))
+    else:
+        def fn(res):
+            return {"BVH": res["bvh"]}
+
+        graph.add_pass("BVH", fn, inputs=("bvh",), outputs=("BVH",))

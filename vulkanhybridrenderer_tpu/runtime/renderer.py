@@ -42,6 +42,7 @@ class Renderer:
         self._graphs: dict[Any, Any] = {}
         self.temporal_state = make_temporal_state(self.config.height, self.config.width)
         self.prim_transform = scene.buffers.prim_transform
+        self._bvh = None
 
     # -- path / config switching (renderer.cpp:159-181) ---------------------------
     def set_path(self, name: str):
@@ -84,12 +85,25 @@ class Renderer:
         self._prev_view, self._prev_proj = view, proj
         return pfd
 
+    def _get_bvh(self):
+        """Build the scene LBVH once (reference: BLAS/TLAS built at scene load,
+        resource_manager.cpp:291-307).  Animated paths refit it in-frame."""
+        if self._bvh is None:
+            from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
+            from vulkanhybridrenderer_tpu.ops.geometry import to_world
+
+            world = to_world(self.scene.buffers, self.prim_transform)
+            tris = bvh_ops.world_triangles(world.position, self.scene.buffers.tri_vertex)
+            self._bvh = bvh_ops.build(tris)
+        return self._bvh
+
     def _resources(self, pfd):
         return {
             "scene": self.scene.buffers,
             "pfd": pfd,
             "prim_transform": self.prim_transform,
             "temporal_state": self.temporal_state,
+            "bvh": self._get_bvh(),
         }
 
     # -- frame loop -----------------------------------------------------------------
