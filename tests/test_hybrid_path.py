@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from vulkanhybridrenderer_tpu.core.config import (
+    AmbientOcclusionMode,
+    HybridSettings,
+    ReflectionMode,
+    RenderConfig,
+    ShadowMode,
+    SSRSettings,
+)
+from vulkanhybridrenderer_tpu.runtime.renderer import Renderer
+from vulkanhybridrenderer_tpu.scene import procedural
+
+
+def _cfg(hs: HybridSettings, **kw):
+    return RenderConfig(width=96, height=64, shadow_map_size=128, hybrid=hs, **kw)
+
+
+def _render(scene, hs: HybridSettings, frames=1, **kw):
+    r = Renderer(scene, _cfg(hs, **kw), path="hybrid")
+    img = None
+    for _ in range(frames):
+        img = np.asarray(r.render_frame())
+    return img, r
+
+
+def test_hybrid_default_rt_shadows():
+    sc = procedural.cornell_box()
+    img, _ = _render(sc, HybridSettings())
+    assert img.shape == (4, 64, 96)
+    assert np.isfinite(img).all()
+    left = img[:3, 32, 12]
+    right = img[:3, 32, 83]
+    assert left[0] > left[1] and right[1] > right[0]
+
+
+def test_hybrid_shadow_modes_differ():
+    sc = procedural.cornell_box()
+    img_rt, _ = _render(sc, HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
+    img_sm, _ = _render(sc, HybridSettings(shadow_mode=ShadowMode.RASTERIZED))
+    img_off, _ = _render(sc, HybridSettings(shadow_mode=ShadowMode.OFF))
+    # off-mode has the most light everywhere
+    assert img_off[:3].mean() >= img_rt[:3].mean() - 1e-6
+    assert img_off[:3].mean() >= img_sm[:3].mean() - 1e-6
+    # RT and rasterized shadows are not identical but broadly correlated
+    diff_rt_off = np.abs(img_rt - img_off).mean()
+    assert diff_rt_off > 1e-4  # shadows actually darken something
+    mask_rt = (img_rt[:3].mean(0) < img_off[:3].mean(0) - 1e-3)
+    mask_sm = (img_sm[:3].mean(0) < img_off[:3].mean(0) - 1e-3)
+    inter = (mask_rt & mask_sm).sum()
+    union = (mask_rt | mask_sm).sum()
+    assert union > 50  # plenty of shadowed pixels
+    assert inter / union > 0.5  # both techniques shadow mostly the same pixels
+
+
+def test_hybrid_rt_ao_darkens_corners():
+    sc = procedural.cornell_box()
+    img_ao, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF, ao_mode=AmbientOcclusionMode.RAYTRACED))
+    img_off, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF, ao_mode=AmbientOcclusionMode.OFF))
+    assert img_ao[:3].mean() < img_off[:3].mean()
+
+
+def test_hybrid_ssao():
+    sc = procedural.cornell_box()
+    img, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF, ao_mode=AmbientOcclusionMode.SSAO))
+    assert np.isfinite(img).all()
+    img_off, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF, ao_mode=AmbientOcclusionMode.OFF))
+    assert img[:3].mean() < img_off[:3].mean()
+
+
+def test_hybrid_rt_reflections_on_metal():
+    sc = procedural.cornell_box()
+    img, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF, reflection_mode=ReflectionMode.RAYTRACED))
+    img_off, _ = _render(sc, HybridSettings(shadow_mode=ShadowMode.OFF))
+    assert np.isfinite(img).all()
+    # metal box region must change when reflections are enabled
+    assert np.abs(img - img_off).max() > 1e-3
+
+
+def test_hybrid_ssr_runs():
+    sc = procedural.cornell_box()
+    img, _ = _render(sc, HybridSettings(
+        shadow_mode=ShadowMode.OFF,
+        reflection_mode=ReflectionMode.SSR,
+        ssr=SSRSettings(ray_distance=5.0, step_size=0.25, thickness=0.75,
+                        bsearch_steps=3)))
+    assert np.isfinite(img).all()
+
+
+def test_hybrid_svgf_denoise_temporal():
+    sc = procedural.cornell_box()
+    hs = HybridSettings(
+        shadow_mode=ShadowMode.RAYTRACED,
+        ao_mode=AmbientOcclusionMode.RAYTRACED,
+        denoise=True,
+    )
+    r = Renderer(sc, _cfg(hs), path="hybrid")
+    imgs = [np.asarray(r.render_frame()) for _ in range(3)]
+    assert all(np.isfinite(i).all() for i in imgs)
+    # temporal state is being carried: history no longer zeros
+    hist = np.asarray(r.temporal_state.shadow_ao_history)
+    assert hist.max() > 0.1
+    prev_n = np.asarray(r.temporal_state.prev_normal_oid)
+    assert np.abs(prev_n[:3]).max() > 0.5
+    # static camera: denoised result converges (frame 2 vs 3 close)
+    assert np.abs(imgs[2] - imgs[1]).mean() < 0.05
+
+
+def test_hybrid_full_everything():
+    sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=12)
+    hs = HybridSettings(
+        shadow_mode=ShadowMode.RAYTRACED,
+        ao_mode=AmbientOcclusionMode.RAYTRACED,
+        reflection_mode=ReflectionMode.RAYTRACED,
+        denoise=True,
+    )
+    img, r = _render(sc, hs, frames=2)
+    assert np.isfinite(img).all()
+    assert img[:3].max() > 0.05

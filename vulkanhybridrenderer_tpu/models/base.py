@@ -47,14 +47,15 @@ def get_path(name: str, config: RenderConfig) -> RenderPath:
     """Instantiate a registered path by name ("forward", "hybrid", "raytraced",
     "rayquery" -- the reference's render-path menu, user_interface.cpp:100-119)."""
     # ensure concrete paths are imported
-    from vulkanhybridrenderer_tpu.models import forward  # noqa: F401
+    from vulkanhybridrenderer_tpu.models import (  # noqa: F401
+        forward,
+        hybrid,
+        raytraced,
+        rayquery,
+    )
 
-    try:
-        from vulkanhybridrenderer_tpu.models import hybrid  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from vulkanhybridrenderer_tpu.models import raytraced, rayquery  # noqa: F401
-    except ImportError:
-        pass
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown render path {name!r}; available: {sorted(_REGISTRY)}"
+        )
     return _REGISTRY[name](config)

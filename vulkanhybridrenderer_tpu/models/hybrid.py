@@ -1,0 +1,258 @@
+"""Hybrid render path -- the flagship (reference hybrid_render_path.cpp:12-441).
+
+Pass graph (conditionally registered per static settings, like the reference's
+RegisterPath branches):
+
+  Geometry -> G-Buffer Pass -> { Shadow Map Pass | Raytrace Pass }
+           -> [SSAO Pass -> SSAO Blur] -> [SSR Pass] -> [SVGF Denoise Pass]
+           -> Composition Pass -> RENDER_OUTPUT
+
+Defaults mirror hybrid_render_path.h:32-35: RT shadows, AO off, reflections off,
+denoise off.
+"""
+from __future__ import annotations
+
+from vulkanhybridrenderer_tpu.core.config import (
+    AmbientOcclusionMode,
+    ReflectionMode,
+    ShadowMode,
+)
+from vulkanhybridrenderer_tpu.core.types import GBuffer
+from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGraph
+from vulkanhybridrenderer_tpu.models.base import RenderPath
+from vulkanhybridrenderer_tpu.models.passes import (
+    add_bvh_pass,
+    add_geometry_pass,
+    add_shadow_map_pass,
+)
+from vulkanhybridrenderer_tpu.ops import (
+    composition as comp_ops,
+    gbuffer,
+    raygen,
+    rasterizer,
+    ssao as ssao_ops,
+    ssr as ssr_ops,
+    svgf,
+)
+
+
+class HybridPath(RenderPath):
+    name = "hybrid"
+
+    @property
+    def uses_temporal_state(self) -> bool:  # type: ignore[override]
+        return self._denoise_active()
+
+    def _denoise_active(self) -> bool:
+        s = self.config.hybrid
+        return s.denoise and (
+            s.shadow_mode == ShadowMode.RAYTRACED
+            or s.ao_mode == AmbientOcclusionMode.RAYTRACED
+            or s.reflection_mode == ReflectionMode.RAYTRACED
+        )
+
+    def register(self, graph: RenderGraph) -> None:
+        cfg = self.config
+        s = cfg.hybrid
+        h, w = cfg.height, cfg.width
+        rt_needed = (
+            s.shadow_mode == ShadowMode.RAYTRACED
+            or s.ao_mode == AmbientOcclusionMode.RAYTRACED
+            or s.reflection_mode == ReflectionMode.RAYTRACED
+        )
+        denoise = self._denoise_active()
+
+        add_geometry_pass(graph)
+
+        def gbuffer_pass(res):
+            scene = res["scene"]
+            clip = res["Clip"]
+            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
+            mask_fn = gbuffer.make_alpha_frag_mask(scene, clip)
+            vis = rasterizer.rasterize(setup, w, h, frag_mask_fn=mask_fn)
+            gb = gbuffer.resolve_gbuffer(scene, res["World"], clip, vis, res["pfd"])
+            return {
+                "Albedo": gb.albedo,
+                "World Space Normals and Object IDs": gb.normal_oid,
+                "Motion Vectors and Metallic Roughness": gb.motion_mr,
+                "Depth": gb.depth,
+            }
+
+        graph.add_pass(
+            "G-Buffer Pass",
+            gbuffer_pass,
+            inputs=("scene", "pfd", "World", "Clip"),
+            outputs=(
+                "Albedo",
+                "World Space Normals and Object IDs",
+                "Motion Vectors and Metallic Roughness",
+                "Depth",
+            ),
+        )
+
+        comp_inputs = [
+            "pfd",
+            "Albedo",
+            "World Space Normals and Object IDs",
+            "Motion Vectors and Metallic Roughness",
+            "Depth",
+        ]
+        comp_kwargs_resources = {}
+
+        if s.shadow_mode == ShadowMode.RASTERIZED:
+            add_shadow_map_pass(graph, cfg.shadow_map_size)
+            comp_inputs.append("Shadow Map")
+            comp_kwargs_resources["shadow_map"] = "Shadow Map"
+
+        if rt_needed:
+            add_bvh_pass(graph, cfg.animated)
+
+            def raytrace_pass(res):
+                shadow_ao, refl = raygen.hybrid_raytrace(
+                    res["scene"],
+                    res["BVH"],
+                    res["WorldTris"],
+                    res["pfd"],
+                    res["Depth"],
+                    res["World Space Normals and Object IDs"],
+                    ao_rays=cfg.ao_rays,
+                )
+                return {
+                    "Raytraced Shadows and Ambient Occlusion": shadow_ao,
+                    "Raytraced Reflections": refl,
+                }
+
+            graph.add_pass(
+                "Raytrace Pass",
+                raytrace_pass,
+                inputs=(
+                    "scene",
+                    "pfd",
+                    "BVH",
+                    "WorldTris",
+                    "Depth",
+                    "World Space Normals and Object IDs",
+                ),
+                outputs=(
+                    "Raytraced Shadows and Ambient Occlusion",
+                    "Raytraced Reflections",
+                ),
+            )
+            if s.reflection_mode == ReflectionMode.RAYTRACED:
+                comp_inputs.append("Raytraced Reflections")
+                comp_kwargs_resources["rt_reflections"] = "Raytraced Reflections"
+
+        if s.ao_mode == AmbientOcclusionMode.SSAO:
+            def ssao_pass(res):
+                return {
+                    "Screen Space Ambient Occlusion Raw": ssao_ops.ssao(
+                        res["pfd"],
+                        res["Depth"],
+                        res["World Space Normals and Object IDs"],
+                        radius=s.ssao.radius,
+                    )
+                }
+
+            def ssao_blur_pass(res):
+                return {
+                    "Screen Space Ambient Occlusion": ssao_ops.ssao_blur(
+                        res["Screen Space Ambient Occlusion Raw"]
+                    )
+                }
+
+            graph.add_pass(
+                "SSAO Pass",
+                ssao_pass,
+                inputs=("pfd", "Depth", "World Space Normals and Object IDs"),
+                outputs=("Screen Space Ambient Occlusion Raw",),
+            )
+            graph.add_pass(
+                "SSAO Blur Pass",
+                ssao_blur_pass,
+                inputs=("Screen Space Ambient Occlusion Raw",),
+                outputs=("Screen Space Ambient Occlusion",),
+            )
+            comp_inputs.append("Screen Space Ambient Occlusion")
+            comp_kwargs_resources["ssao_tex"] = "Screen Space Ambient Occlusion"
+
+        if s.reflection_mode == ReflectionMode.SSR:
+            def ssr_pass(res):
+                return {
+                    "Screen Space Reflections": ssr_ops.ssr(
+                        res["pfd"],
+                        res["Depth"],
+                        res["World Space Normals and Object IDs"],
+                        res["Albedo"],
+                        res["Motion Vectors and Metallic Roughness"],
+                        s.ssr,
+                    )
+                }
+
+            graph.add_pass(
+                "SSR Pass",
+                ssr_pass,
+                inputs=(
+                    "pfd",
+                    "Depth",
+                    "World Space Normals and Object IDs",
+                    "Albedo",
+                    "Motion Vectors and Metallic Roughness",
+                ),
+                outputs=("Screen Space Reflections",),
+            )
+            comp_inputs.append("Screen Space Reflections")
+            comp_kwargs_resources["ssr_tex"] = "Screen Space Reflections"
+
+        rt_shadow_ao_resource = "Raytraced Shadows and Ambient Occlusion"
+        if denoise:
+            def svgf_pass(res):
+                denoised, new_state = svgf.denoise(
+                    res["World Space Normals and Object IDs"],
+                    res["Motion Vectors and Metallic Roughness"],
+                    res["Raytraced Shadows and Ambient Occlusion"],
+                    res["temporal_state"],
+                )
+                return {
+                    "Denoised Raytraced Shadows and Ambient Occlusion": denoised,
+                    "TemporalStateOut": new_state,
+                }
+
+            graph.add_pass(
+                "SVGF Denoise Pass",
+                svgf_pass,
+                inputs=(
+                    "World Space Normals and Object IDs",
+                    "Motion Vectors and Metallic Roughness",
+                    "Raytraced Shadows and Ambient Occlusion",
+                    "temporal_state",
+                ),
+                outputs=(
+                    "Denoised Raytraced Shadows and Ambient Occlusion",
+                    "TemporalStateOut",
+                ),
+            )
+            rt_shadow_ao_resource = "Denoised Raytraced Shadows and Ambient Occlusion"
+
+        if rt_needed:
+            comp_inputs.append(rt_shadow_ao_resource)
+            comp_kwargs_resources["rt_shadow_ao"] = rt_shadow_ao_resource
+
+        def composition_pass(res):
+            gb = GBuffer(
+                albedo=res["Albedo"],
+                normal_oid=res["World Space Normals and Object IDs"],
+                motion_mr=res["Motion Vectors and Metallic Roughness"],
+                depth=res["Depth"],
+            )
+            kwargs = {k: res[v] for k, v in comp_kwargs_resources.items()}
+            return {RENDER_OUTPUT: comp_ops.compose(gb, res["pfd"], s, **kwargs)}
+
+        # When denoising, "TemporalStateOut" is produced by the SVGF pass (which is
+        # on the RENDER_OUTPUT dependency chain) and returned via make_frame_fn's
+        # keep set -- no extra wiring needed here.
+        graph.add_pass(
+            "Composition Pass",
+            composition_pass,
+            inputs=tuple(comp_inputs),
+            outputs=(RENDER_OUTPUT,),
+        )

@@ -1,0 +1,73 @@
+"""Image gather/filter helpers shared by the screen-space passes."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gather_2d(img, iy, ix):
+    """img: (H, W) or (C, H, W); iy/ix int32 (...,) clamped to bounds.
+    Returns (...,) or (..., C)."""
+    if img.ndim == 2:
+        h, w = img.shape
+        iy = jnp.clip(iy, 0, h - 1)
+        ix = jnp.clip(ix, 0, w - 1)
+        return img.reshape(-1)[iy * w + ix]
+    c, h, w = img.shape
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jnp.clip(ix, 0, w - 1)
+    lin = (iy * w + ix).reshape(-1)
+    return img.reshape(c, -1)[:, lin].T.reshape(iy.shape + (c,))
+
+
+def bilinear_sample(img, uv):
+    """GLSL texture() with a linear clamp-to-edge sampler.
+
+    img: (H, W) or (C, H, W); uv: (..., 2) in [0, 1] (texel centers at
+    (i + .5) / size).  Returns (...,) or (..., C).
+    """
+    h, w = img.shape[-2:]
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    c00 = gather_2d(img, y0i, x0i)
+    c10 = gather_2d(img, y0i, x0i + 1)
+    c01 = gather_2d(img, y0i + 1, x0i)
+    c11 = gather_2d(img, y0i + 1, x0i + 1)
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def shifted(img, dy: int, dx: int, fill=0.0):
+    """Static shift of the last two dims with `fill` outside -- stencil building
+    block.  shifted(img, dy, dx)[..., y, x] == img[..., y + dy, x + dx] (fill where
+    y + dy or x + dx falls outside)."""
+    h, w = img.shape[-2:]
+    pad = [(0, 0)] * (img.ndim - 2) + [
+        (max(0, -dy), max(0, dy)),
+        (max(0, -dx), max(0, dx)),
+    ]
+    p = jnp.pad(img, pad, constant_values=fill)
+    y0 = max(0, dy)
+    x0 = max(0, dx)
+    sl = [slice(None)] * (img.ndim - 2) + [slice(y0, y0 + h), slice(x0, x0 + w)]
+    return p[tuple(sl)]
+
+
+def inbounds_mask(height: int, width: int, dy: int, dx: int):
+    """(H, W) bool: True where pixel (y + dy, x + dx) is inside the image (the
+    bounds checks the compute shaders do per tap)."""
+    yy = jnp.arange(height)[:, None] + dy
+    xx = jnp.arange(width)[None, :] + dx
+    return ((yy >= 0) & (yy < height)) & ((xx >= 0) & (xx < width))

@@ -1,0 +1,99 @@
+"""Hybrid ray-trace pass: RT shadows + AO + mirror reflections from the G-buffer
+(reference raygen.rgen:14-67 + reflection_hit.rchit + miss shaders).
+
+Parity notes (cited to raygen.rgen):
+  * RNG: seed_thread((y * H + x) * frame_index), xorshift draws in the reference's
+    exact order: shadow rnd1, rnd2, then per-AO-ray rnd1, rnd2 (:18, :32-33, :46-47).
+  * shadow = ONE cone direction around L (cos_theta_max = 0.999995) -- the reference
+    loops traceRayEXT 4x with the *same* direction and payload (:39-41), which is
+    semantically a single any-hit trace; we trace once.  miss -> lit (1.0).
+  * AO = 2 cosine-hemisphere rays around N, tmax 5.0 (:44-55), averaged.
+  * reflection = mirror reflect() of the camera ray, closest-hit shaded by
+    reflection_hit.rchit, miss -> 0 (:58-66).
+  * all rays start at P + N * 0.1 with tmin 0.01 (:29, :41).
+  * sky pixels (depth == 0): shadow_ao = (1, 1, 0, 1), reflections = 0 (:20-24).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vulkanhybridrenderer_tpu.core.types import PerFrameData, SceneBuffers
+from vulkanhybridrenderer_tpu.ops import rt_shade, screen, traverse
+from vulkanhybridrenderer_tpu.ops.sampling import (
+    to_basis,
+    uniform_sample_cone,
+    uniform_sample_cosine_hemisphere,
+)
+from vulkanhybridrenderer_tpu.utils import rng
+from vulkanhybridrenderer_tpu.utils.math3d import normalize, reflect
+
+CONE_COS_THETA_MAX = 0.999995
+SHADOW_TMIN = 0.01
+SHADOW_TMAX = 10000.0
+AO_TMAX = 5.0
+
+
+def hybrid_raytrace(
+    scene: SceneBuffers,
+    bvh,
+    tri_verts,
+    pfd: PerFrameData,
+    depth,
+    normal_oid,
+    ao_rays: int = 2,
+):
+    """depth: (H, W); normal_oid: (4, H, W).  Returns
+    ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
+     "Raytraced Reflections" (4, H, W))."""
+    h, w = depth.shape
+    uv = screen.pixel_uv_grid(h, w)
+    p_world = screen.position_from_depth(depth, uv, pfd.camera_viewproj_inverse)
+    n = normal_oid[:3].transpose(1, 2, 0)  # (H, W, 3)
+    l = -pfd.directional_light.direction[:3]
+
+    origin = (p_world + n * 0.1).reshape(-1, 3)
+    state = rng.pixel_seed(w, h, pfd.frame_index)
+
+    # ---- shadow: one cone sample around L (:31-41) -----------------------------
+    state, r1 = rng.random01(state)
+    state, r2 = rng.random01(state)
+    u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
+    cone = normalize(uniform_sample_cone(u2, CONE_COS_THETA_MAX))
+    l_grid = jnp.broadcast_to(l, (h * w, 3))
+    shadow_dir = to_basis(l_grid, cone)
+    rec = traverse.trace(
+        bvh, tri_verts, origin, shadow_dir, SHADOW_TMIN, SHADOW_TMAX, anyhit=True
+    )
+    shadow = jnp.where(rec.hit, 0.0, 1.0).reshape(h, w)
+
+    # ---- AO: `ao_rays` cosine-hemisphere samples around N (:43-55) --------------
+    n_flat = n.reshape(-1, 3)
+    ao = jnp.zeros(h * w, jnp.float32)
+    for _ in range(ao_rays):
+        state, r1 = rng.random01(state)
+        state, r2 = rng.random01(state)
+        u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
+        d = to_basis(n_flat, uniform_sample_cosine_hemisphere(u2))
+        rec = traverse.trace(
+            bvh, tri_verts, origin, d, SHADOW_TMIN, AO_TMAX, anyhit=True
+        )
+        ao = ao + jnp.where(rec.hit, 0.0, 1.0)
+    ao = (ao / ao_rays).reshape(h, w)
+
+    # ---- mirror reflections (:57-66) ---------------------------------------------
+    cam = pfd.camera_position
+    i_dir = normalize(p_world - cam).reshape(-1, 3)
+    r_dir = reflect(i_dir, n_flat)
+    rec = traverse.trace(bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX)
+    shaded = rt_shade.reflection_hit_shade(scene, pfd, rec.tri, rec.u, rec.v)
+    refl = jnp.where(rec.hit[:, None], shaded, 0.0).reshape(h, w, 4)
+
+    # ---- sky override (:20-24) ------------------------------------------------------
+    sky = depth == 0.0
+    shadow = jnp.where(sky, 1.0, shadow)
+    ao_out = jnp.where(sky, 1.0, ao)
+    shadow_ao = jnp.stack(
+        [shadow, ao_out, jnp.zeros_like(shadow), jnp.ones_like(shadow)], axis=0
+    )
+    refl = jnp.where(sky[..., None], 0.0, refl).transpose(2, 0, 1)
+    return shadow_ao, refl

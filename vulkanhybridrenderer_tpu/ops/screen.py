@@ -25,4 +25,9 @@ def position_from_depth(depth, uv, inverse_matrix):
     with camera_viewproj_inverse for world space)."""
     ndc = jnp.concatenate([uv * 2.0 - 1.0, depth[..., None]], axis=-1)
     h = transform_points(inverse_matrix, ndc)
-    return h[..., :3] / h[..., 3:4]
+    # depth == 0 (sky, infinite reverse-Z far plane) yields w == 0; the reference's
+    # GLSL divides anyway and downstream math multiplies by N == 0.  IEEE gives
+    # NaN * 0 = NaN, so we clamp w to keep sky pixels finite (a point ~1e8 away).
+    w = h[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-8, jnp.where(w < 0, -1e-8, 1e-8), w)
+    return h[..., :3] / w

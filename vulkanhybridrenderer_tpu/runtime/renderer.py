@@ -30,10 +30,13 @@ from vulkanhybridrenderer_tpu.utils.image import save_png
 
 class Renderer:
     def __init__(self, scene: Scene, config: RenderConfig | None = None,
-                 path: str = "hybrid"):
+                 path: str = "hybrid", mesh=None):
+        """mesh: optional jax.sharding.Mesh -- shards the frame's pixel rows across
+        devices (parallel/mesh.py); None = single device like the reference."""
         self.scene = scene
         self.config = config or RenderConfig()
         self.path_name = path
+        self.mesh = mesh
         self.stats = PassStats()
         self.frame_index = 0
         self._prev_view: np.ndarray | None = None
@@ -62,7 +65,15 @@ class Renderer:
             path = get_path(self.path_name, self.config)
             graph = path.build_graph()
             keep = ("TemporalStateOut",) if path.uses_temporal_state else ()
-            fn = graph.make_frame_fn(RENDER_OUTPUT, keep=keep)
+            if self.mesh is not None:
+                from vulkanhybridrenderer_tpu.parallel.mesh import make_sharded_frame_fn
+
+                fn = make_sharded_frame_fn(
+                    graph, self.mesh, self.config.height, self.config.width,
+                    RENDER_OUTPUT, keep=keep,
+                )
+            else:
+                fn = graph.make_frame_fn(RENDER_OUTPUT, keep=keep)
             self._graphs[key] = graph
             self._frame_fns[key] = (jax.jit(fn), path)
         return self._frame_fns[key]
