@@ -86,6 +86,9 @@ class RenderConfig:
     height: int = 1080
     #: animated scenes refit the LBVH every frame inside the frame function
     animated: bool = False
+    #: "binned" = sort-binned Pallas tile rasterizer (production);
+    #: "brute" = O(T*P) reference rasterizer (small scenes / validation)
+    raster: str = "binned"
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     shadow_rays: int = 4  # raygen.rgen:39-41 loop count
     ao_rays: int = 2  # raygen.rgen:45-55

@@ -126,6 +126,12 @@ class SceneBuffers:
     prim_normal_mat: Any  # (P, 4, 4) inverse-transpose rotations
     materials: MaterialsSoA
     atlas: TextureAtlas
+    # Alpha-masked triangle subset (rasterized separately by the tiled raster path)
+    alpha_tri_idx: Any  # (A,) int32 triangle ids with alpha_mask materials
+    #: static: whether the scene contains alpha-masked materials at all
+    has_alpha_mask: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_vertices(self) -> int:

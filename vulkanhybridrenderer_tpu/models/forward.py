@@ -15,8 +15,12 @@ import math
 
 from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGraph
 from vulkanhybridrenderer_tpu.models.base import RenderPath
-from vulkanhybridrenderer_tpu.models.passes import add_geometry_pass, add_shadow_map_pass
-from vulkanhybridrenderer_tpu.ops import gbuffer, rasterizer, shade
+from vulkanhybridrenderer_tpu.models.passes import (
+    add_geometry_pass,
+    add_shadow_map_pass,
+    rasterize_for_path,
+)
+from vulkanhybridrenderer_tpu.ops import shade
 
 
 class ForwardRasterPath(RenderPath):
@@ -28,15 +32,13 @@ class ForwardRasterPath(RenderPath):
         w, h = cfg.width * ss, cfg.height * ss
 
         add_geometry_pass(graph)
-        add_shadow_map_pass(graph, cfg.shadow_map_size)
+        add_shadow_map_pass(graph, cfg.shadow_map_size, cfg)
 
         def forward_pass(res):
             scene = res["scene"]
             pfd = res["pfd"]
             clip = res["Clip"]
-            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
-            mask_fn = gbuffer.make_alpha_frag_mask(scene, clip)
-            vis = rasterizer.rasterize(setup, w, h, frag_mask_fn=mask_fn)
+            vis = rasterize_for_path(scene, clip, w, h, cfg)
             attrs = shade.resolve_forward_attributes(scene, res["World"], clip, vis)
             # The reference samples the shadow map but forces shadow = 1.0
             # (default.frag:79); forward_shade(None) reproduces that.

@@ -24,12 +24,12 @@ from vulkanhybridrenderer_tpu.models.passes import (
     add_bvh_pass,
     add_geometry_pass,
     add_shadow_map_pass,
+    rasterize_for_path,
 )
 from vulkanhybridrenderer_tpu.ops import (
     composition as comp_ops,
     gbuffer,
     raygen,
-    rasterizer,
     ssao as ssao_ops,
     ssr as ssr_ops,
     svgf,
@@ -67,9 +67,7 @@ class HybridPath(RenderPath):
         def gbuffer_pass(res):
             scene = res["scene"]
             clip = res["Clip"]
-            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
-            mask_fn = gbuffer.make_alpha_frag_mask(scene, clip)
-            vis = rasterizer.rasterize(setup, w, h, frag_mask_fn=mask_fn)
+            vis = rasterize_for_path(scene, clip, w, h, cfg)
             gb = gbuffer.resolve_gbuffer(scene, res["World"], clip, vis, res["pfd"])
             return {
                 "Albedo": gb.albedo,
@@ -100,7 +98,7 @@ class HybridPath(RenderPath):
         comp_kwargs_resources = {}
 
         if s.shadow_mode == ShadowMode.RASTERIZED:
-            add_shadow_map_pass(graph, cfg.shadow_map_size)
+            add_shadow_map_pass(graph, cfg.shadow_map_size, cfg)
             comp_inputs.append("Shadow Map")
             comp_kwargs_resources["shadow_map"] = "Shadow Map"
 

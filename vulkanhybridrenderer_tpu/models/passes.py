@@ -3,7 +3,24 @@ from __future__ import annotations
 
 from vulkanhybridrenderer_tpu.graph.render_graph import RenderGraph
 from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
-from vulkanhybridrenderer_tpu.ops import geometry, shadowmap
+from vulkanhybridrenderer_tpu.ops import gbuffer, geometry, rasterizer, shadowmap
+from vulkanhybridrenderer_tpu.ops import rasterizer_tiled
+
+
+def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
+    """Rasterizer dispatch per RenderConfig.raster ("binned" Pallas tile kernel vs
+    "brute" reference scan).  Both produce identical VisibilityBuffers (tested)."""
+    if config.raster == "binned":
+        return rasterizer_tiled.rasterize_scene(
+            scene, clip, width, height, alpha=alpha
+        )
+    setup = rasterizer.triangle_setup(clip, scene.tri_vertex, width, height)
+    mask_fn = (
+        gbuffer.make_alpha_frag_mask(scene, clip)
+        if (alpha and scene.has_alpha_mask)
+        else None
+    )
+    return rasterizer.rasterize(setup, width, height, frag_mask_fn=mask_fn)
 
 
 def add_geometry_pass(graph: RenderGraph):
@@ -29,12 +46,18 @@ def add_geometry_pass(graph: RenderGraph):
     )
 
 
-def add_shadow_map_pass(graph: RenderGraph, size: int, chunk: int = 256):
+def add_shadow_map_pass(graph: RenderGraph, size: int, config=None, chunk: int = 256):
     """Depth-only prepass into the shadow map from the light's view
-    (forward_raster_render_path.cpp:13-41 / hybrid_render_path.cpp:60-96)."""
+    (forward_raster_render_path.cpp:13-41 / hybrid_render_path.cpp:60-96).  The
+    prepass fragment shader is empty (depth_prepass.frag) -- no alpha testing."""
 
     def fn(res):
         scene = res["scene"]
+        if config is not None and config.raster == "binned":
+            vis = rasterize_for_path(
+                scene, res["LightClip"], size, size, config, alpha=False
+            )
+            return {"Shadow Map": vis.depth}
         return {
             "Shadow Map": shadowmap.render_shadow_map(
                 res["LightClip"], scene.tri_vertex, size, chunk=chunk

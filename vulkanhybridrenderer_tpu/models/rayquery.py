@@ -13,8 +13,12 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGraph
 from vulkanhybridrenderer_tpu.models.base import RenderPath
-from vulkanhybridrenderer_tpu.models.passes import add_bvh_pass, add_geometry_pass
-from vulkanhybridrenderer_tpu.ops import gbuffer, rasterizer, shade, traverse
+from vulkanhybridrenderer_tpu.models.passes import (
+    add_bvh_pass,
+    add_geometry_pass,
+    rasterize_for_path,
+)
+from vulkanhybridrenderer_tpu.ops import shade, traverse
 
 
 class RayqueryPath(RenderPath):
@@ -31,8 +35,8 @@ class RayqueryPath(RenderPath):
             scene = res["scene"]
             pfd = res["pfd"]
             clip = res["Clip"]
-            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
-            vis = rasterizer.rasterize(setup, w, h)
+            # no alpha discard in the rayquery fragment shader (default.frag)
+            vis = rasterize_for_path(scene, clip, w, h, cfg, alpha=False)
             attrs = shade.resolve_forward_attributes(scene, res["World"], clip, vis)
 
             l_dir = -pfd.directional_light.direction[:3]

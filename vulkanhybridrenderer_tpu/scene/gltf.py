@@ -173,6 +173,13 @@ def build_scene_buffers(
     )
     tri_prim = np.concatenate(tri_prim) if tri_prim else np.zeros((0,), np.int32)
 
+    # Alpha-masked triangle subset (consumed by the tiled rasterizer, which
+    # rasterizes masked geometry separately -- see ops/rasterizer_tiled.py).
+    alpha_mask_np = np.asarray([p.get("alpha_mask", 0) for p in primitives], np.int32)
+    tri_masked = alpha_mask_np[tri_prim] == 1 if len(tri_prim) else np.zeros(0, bool)
+    alpha_tri_idx = np.nonzero(tri_masked)[0].astype(np.int32)
+    has_alpha = bool(alpha_tri_idx.size)
+
     return SceneBuffers(
         positions=jnp.asarray(positions, jnp.float32),
         normals=jnp.asarray(normals, jnp.float32),
@@ -189,6 +196,8 @@ def build_scene_buffers(
         prim_normal_mat=jnp.asarray(prim_normal),
         materials=materials,
         atlas=build_atlas(images or [], srgb, dtype=atlas_dtype),
+        alpha_tri_idx=jnp.asarray(alpha_tri_idx),
+        has_alpha_mask=has_alpha,
     )
 
 
