@@ -72,7 +72,8 @@ def _pack_fields(setup: TriangleSetup, tri_ids):
     rows = [
         sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
         z[:, 0], z[:, 1], z[:, 2],
-        tri_ids.astype(jnp.int32).view(jnp.float32),
+        # tri id as exact float (ids < 2^24; Mosaic has no scalar bitcast)
+        tri_ids.astype(jnp.float32),
     ]
     k = tri_ids.shape[0]
     pad = jnp.zeros((_NFIELDS - len(rows), k), jnp.float32)
@@ -231,7 +232,7 @@ def _raster_kernel(
             & (z >= 0.0) & (z <= 1.0) & active
         )
         better = inside & (z >= depth_out[...])
-        tid_i32 = jax.lax.bitcast_convert_type(tid, jnp.int32)
+        tid_i32 = tid.astype(jnp.int32)
         depth_out[...] = jnp.where(better, z, depth_out[...])
         tri_out[...] = jnp.where(better, tid_i32, tri_out[...])
         b1_out[...] = jnp.where(better, l1, b1_out[...])
