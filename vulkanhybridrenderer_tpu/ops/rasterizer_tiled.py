@@ -54,8 +54,9 @@ _NFIELDS = 16  # padded to a power-of-two-ish row count (sublane-friendly)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Bins:
-    entry_data: Any  # (16, E_pad) f32 SoA setup rows in tile-sorted entry order
-    offsets: Any  # (ntiles + 1,) int32 entry ranges per tile
+    entry_data: Any  # (16, E_pad) f32 SoA setup rows, tile-sorted, CHUNK-aligned
+    offsets: Any  # (ntiles + 1,) int32 CHUNK-aligned start per tile
+    counts: Any  # (ntiles,) int32 actual entry count per tile
     big_data: Any  # (16, big_cap) f32 setup rows of "big" triangles
     num_big: Any  # () int32
 
@@ -142,15 +143,35 @@ def bin_triangles(
     order = jnp.argsort(tile_flat, stable=True)
     tile_sorted = tile_flat[order]
     tri_sorted = tri_flat[order]
-    offsets = jnp.searchsorted(
+    offsets_raw = jnp.searchsorted(
         tile_sorted, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # pad entry count to CHUNK so kernel DMA slices stay in-bounds
+    # Re-pack per-tile ranges to CHUNK-aligned starts: Mosaic DMA requires lane-dim
+    # slice starts provably 128-aligned, so each tile's entries begin at a multiple
+    # of CHUNK and `counts` carries the true length.
+    counts = offsets_raw[1:] - offsets_raw[:-1]  # (ntiles,)
+    aligned_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
+    )  # CHUNK-aligned entry starts; kernel consumes offsets // CHUNK (block ids)
     e_total = t * expand_cap
-    e_pad = ((e_total + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
-    tri_sorted = jnp.pad(tri_sorted, (0, e_pad - e_total))
-    entry_data = _pack_fields(setup, tri_sorted)
+    d_total = ((e_total + CHUNK - 1) // CHUNK) * CHUNK + ntiles * CHUNK  # static
+    valid_entry = tile_sorted < ntiles
+    rank = jnp.arange(e_total, dtype=jnp.int32) - offsets_raw[
+        jnp.minimum(tile_sorted, ntiles - 1)
+    ]
+    dest = jnp.where(
+        valid_entry,
+        offsets[jnp.minimum(tile_sorted, ntiles - 1)] + rank,
+        d_total,  # dumped into the trailing scratch slot
+    )
+    tri_dense = jnp.zeros(d_total + 1, jnp.int32).at[dest].set(tri_sorted)[:-1]
+    packed = _pack_fields(setup, tri_dense)  # (16, d_total)
+    # Block-major layout (nblocks, 16, CHUNK): the kernel DMAs whole blocks by
+    # leading index, so Mosaic never sees a dynamic lane offset.
+    nblocks = d_total // CHUNK
+    entry_data = packed.reshape(_NFIELDS, nblocks, CHUNK).transpose(1, 0, 2)
 
     # ---- big list ----------------------------------------------------------------
     (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=0)
@@ -160,6 +181,7 @@ def bin_triangles(
     return Bins(
         entry_data=entry_data,
         offsets=offsets,
+        counts=counts,
         big_data=big_data,
         num_big=num_big,
     )
@@ -167,7 +189,8 @@ def bin_triangles(
 
 def _raster_kernel(
     # scalar prefetch
-    offsets_ref,  # (ntiles + 1,) SMEM
+    offsets_ref,  # (ntiles + 1,) SMEM (CHUNK-aligned starts)
+    counts_ref,  # (ntiles,) SMEM (true entry counts)
     num_big_ref,  # (1,) SMEM
     # inputs
     entry_hbm,  # (16, E_pad) ANY/HBM
@@ -239,14 +262,13 @@ def _raster_kernel(
         b2_out[...] = jnp.where(better, l2, b2_out[...])
 
     # ---- binned entries, double-buffered DMA ------------------------------------
-    start = offsets_ref[i]
-    end = offsets_ref[i + 1]
-    n = end - start
+    start_block = offsets_ref[i] // CHUNK
+    n = counts_ref[i]
     n_chunks = (n + CHUNK - 1) // CHUNK
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            entry_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            entry_hbm.at[start_block + c],
             chunk_vmem.at[slot],
             sem.at[slot],
         )
@@ -308,7 +330,7 @@ def rasterize_binned(
     w_pad = ntx * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
@@ -342,6 +364,7 @@ def rasterize_binned(
         interpret=interpret,
     )(
         bins.offsets,
+        bins.counts,
         jnp.reshape(bins.num_big, (1,)),
         bins.entry_data,
         bins.big_data,

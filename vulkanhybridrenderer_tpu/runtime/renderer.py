@@ -167,3 +167,39 @@ class Renderer:
         img = np.asarray(self.render_frame())
         save_png(path, img)
         return img
+
+    def profile(self, trace_dir: str = "/tmp/vhr_trace", frames: int = 3):
+        """Capture a jax.profiler trace of `frames` frames (the TPU-native
+        counterpart of the reference's RenderDoc debug labels,
+        render_graph.cpp:160-165)."""
+        import jax.profiler
+
+        self.render_frame()  # ensure compiled outside the trace
+        with jax.profiler.trace(trace_dir):
+            out = None
+            for _ in range(frames):
+                out = self.render_frame(sync=False)
+            jax.block_until_ready(out)
+        return trace_dir
+
+    def find_nonfinite_pass(self) -> str | None:
+        """Failure detection: run each pass separately and report the first whose
+        outputs contain non-finite values (None if the frame is clean).  The
+        functional pass graph makes fault isolation trivial compared to the
+        reference's validation-layer printouts (vulkan_context.cpp:122-146)."""
+        key = self._key()
+        self._get_frame_fn()
+        graph = self._graphs[key]
+        pfd = self._make_pfd()
+        res = self._resources(pfd)
+        for name in graph.find_execution_order():
+            p = graph.passes[name]
+            produced = p.fn(res)
+            for out_name in p.outputs:
+                leaves = jax.tree_util.tree_leaves(produced[out_name])
+                for leaf in leaves:
+                    arr = np.asarray(leaf)
+                    if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+                        return name
+            res.update({k: produced[k] for k in p.outputs})
+        return None
