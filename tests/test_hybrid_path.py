@@ -113,7 +113,7 @@ def test_hybrid_svgf_denoise_temporal():
 
 
 def test_hybrid_full_everything():
-    sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=12)
+    sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=12, grid_res=8)
     hs = HybridSettings(
         shadow_mode=ShadowMode.RAYTRACED,
         ao_mode=AmbientOcclusionMode.RAYTRACED,

@@ -47,7 +47,7 @@ def test_binned_matches_brute_cornell():
 
 
 def test_binned_matches_brute_sponza():
-    sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=20)
+    sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=20, grid_res=8)
     w, h = 192, 96
     clip, setup = _clip_setup(sc, w, h)
     # exclude alpha-masked tris from both sides for a pure opaque comparison

@@ -22,7 +22,7 @@ def test_cornell_box_buffers():
 
 
 def test_sponza_proxy_scale():
-    sc = procedural.sponza_proxy(columns=4, segments=8, extra_boxes=20)
+    sc = procedural.sponza_proxy(columns=4, segments=8, extra_boxes=20, grid_res=8)
     assert sc.buffers.num_triangles > 800
     # alpha-masked prims exist
     assert int(jnp.sum(sc.buffers.materials.alpha_mask)) > 0

@@ -54,10 +54,10 @@ _NFIELDS = 16  # padded to a power-of-two-ish row count (sublane-friendly)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Bins:
-    entry_data: Any  # (16, E_pad) f32 SoA setup rows, tile-sorted, CHUNK-aligned
+    entry_data: Any  # (nblocks, CHUNK, 16) f32 setup rows, tile-sorted + aligned
     offsets: Any  # (ntiles + 1,) int32 CHUNK-aligned start per tile
     counts: Any  # (ntiles,) int32 actual entry count per tile
-    big_data: Any  # (16, big_cap) f32 setup rows of "big" triangles
+    big_data: Any  # (big_cap, 16) f32 setup rows of "big" triangles
     num_big: Any  # () int32
 
 
@@ -66,19 +66,23 @@ def _tile_counts(width: int, height: int, tile_h: int, tile_w: int):
 
 
 def _pack_fields(setup: TriangleSetup, tri_ids):
-    """Gather setup rows -> (16, K) f32 (tri id bitcast into a float lane)."""
+    """Gather setup rows -> (K, 16) f32, one row per triangle.
+
+    Row-per-triangle layout keeps the kernel's per-triangle fetch a *dynamic
+    sublane* index with static lane offsets (Mosaic rejects dynamic lane
+    indexing)."""
     sx = setup.sx[tri_ids]
     sy = setup.sy[tri_ids]
     z = setup.z[tri_ids]
-    rows = [
+    cols = [
         sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
         z[:, 0], z[:, 1], z[:, 2],
         # tri id as exact float (ids < 2^24; Mosaic has no scalar bitcast)
         tri_ids.astype(jnp.float32),
     ]
     k = tri_ids.shape[0]
-    pad = jnp.zeros((_NFIELDS - len(rows), k), jnp.float32)
-    return jnp.concatenate([jnp.stack(rows), pad], axis=0)
+    pad = jnp.zeros((k, _NFIELDS - len(cols)), jnp.float32)
+    return jnp.concatenate([jnp.stack(cols, axis=1), pad], axis=1)
 
 
 @functools.partial(
@@ -167,11 +171,12 @@ def bin_triangles(
         d_total,  # dumped into the trailing scratch slot
     )
     tri_dense = jnp.zeros(d_total + 1, jnp.int32).at[dest].set(tri_sorted)[:-1]
-    packed = _pack_fields(setup, tri_dense)  # (16, d_total)
-    # Block-major layout (nblocks, 16, CHUNK): the kernel DMAs whole blocks by
-    # leading index, so Mosaic never sees a dynamic lane offset.
+    packed = _pack_fields(setup, tri_dense)  # (d_total, 16)
+    # Block-major (nblocks, 16, CHUNK): whole-block DMA by leading index (lane dim
+    # = CHUNK = 128, satisfying Mosaic's DMA tiling); the kernel transposes each
+    # chunk to (CHUNK, 16) once so per-triangle fetches are dynamic-sublane reads.
     nblocks = d_total // CHUNK
-    entry_data = packed.reshape(_NFIELDS, nblocks, CHUNK).transpose(1, 0, 2)
+    entry_data = packed.reshape(nblocks, CHUNK, _NFIELDS).transpose(0, 2, 1)
 
     # ---- big list ----------------------------------------------------------------
     (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=0)
@@ -193,15 +198,16 @@ def _raster_kernel(
     counts_ref,  # (ntiles,) SMEM (true entry counts)
     num_big_ref,  # (1,) SMEM
     # inputs
-    entry_hbm,  # (16, E_pad) ANY/HBM
-    big_ref,  # (16, big_cap) VMEM
+    entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
+    big_ref,  # (big_cap, 16) VMEM
     # outputs (blocked per tile)
     depth_out,  # (tile_h, tile_w)
     tri_out,
     b1_out,
     b2_out,
     # scratch
-    chunk_vmem,  # (2, 16, CHUNK)
+    chunk_vmem,  # (2, 16, CHUNK) DMA landing buffers
+    tchunk,  # (CHUNK, 16) transposed working copy
     sem,  # DMA semaphores (2,)
     *,
     tile_h: int,
@@ -285,11 +291,12 @@ def _raster_kernel(
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(slot, c).wait()
+        tchunk[...] = chunk_vmem[slot].T
         remaining = n - c * CHUNK
 
         def inner(j, _):
             def read_scalar(field, jj):
-                return chunk_vmem[slot, field, jj]
+                return tchunk[jj, field]
 
             tri_update(read_scalar, j, j < remaining)
             return 0
@@ -304,7 +311,7 @@ def _raster_kernel(
 
     def big_body(j, _):
         def read_scalar(field, jj):
-            return big_ref[field, jj]
+            return big_ref[jj, field]
 
         tri_update(read_scalar, j, j < nb)
         return 0
@@ -345,6 +352,7 @@ def rasterize_binned(
         * 4,
         scratch_shapes=[
             pltpu.VMEM((2, _NFIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((CHUNK, _NFIELDS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -425,8 +433,11 @@ def rasterize_scene(
         def local_mask(tri_local, lam, w_inv):
             return base_mask(idx[tri_local], lam, w_inv)
 
+        # small chunk: the per-fragment alpha taps materialize (chunk, H, W, 4)
+        # intermediates, so keep the scan step tiny at high resolutions
+        alpha_chunk = 2 if width * height > 512 * 512 else 8
         vis_m = _raster.rasterize(
-            sub, width, height, chunk=min(64, max(8, sub.sx.shape[0])),
+            sub, width, height, chunk=min(alpha_chunk, max(1, sub.sx.shape[0])),
             frag_mask_fn=local_mask,
         )
         vis_m = VisibilityBuffer(

@@ -75,6 +75,44 @@ def quad_mesh(size=(1.0, 1.0)):
     return pos, nrm, tan, uv, idx
 
 
+def grid_mesh(nx=64, nz=64, size=(1.0, 1.0), displace=0.0, seed=0):
+    """Subdivided xz-plane grid facing +y with optional smooth displacement --
+    the triangle-density workhorse for Sponza/Bistro-scale proxy scenes
+    (2 * nx * nz triangles)."""
+    rng = np.random.default_rng(seed)
+    xs = np.linspace(-size[0], size[0], nx + 1)
+    zs = np.linspace(-size[1], size[1], nz + 1)
+    px, pz = np.meshgrid(xs, zs, indexing="ij")
+    py = np.zeros_like(px)
+    if displace:
+        f1, f2 = rng.uniform(1.0, 3.0, 2)
+        p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+        py = displace * (
+            np.sin(f1 * px / size[0] * np.pi + p1) * np.cos(f2 * pz / size[1] * np.pi + p2)
+        )
+    pos = np.stack([px, py, pz], axis=-1).reshape(-1, 3).astype(np.float32)
+    # analytic-ish normals via central differences
+    dx = np.gradient(py, axis=0) / max(np.gradient(px, axis=0).mean(), 1e-6)
+    dz = np.gradient(py, axis=1) / max(np.gradient(pz, axis=1).mean(), 1e-6)
+    n = np.stack([-dx, np.ones_like(py), -dz], axis=-1)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    nrm = n.reshape(-1, 3).astype(np.float32)
+    tan = np.zeros((len(pos), 4), np.float32)
+    tan[:, 0] = 1.0
+    tan[:, 3] = 1.0
+    u, v = np.meshgrid(
+        np.linspace(0, 1, nx + 1), np.linspace(0, 1, nz + 1), indexing="ij"
+    )
+    uv = np.stack([u, v], axis=-1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    for i in range(nx):
+        for j in range(nz):
+            a = i * (nz + 1) + j
+            b = a + nz + 1
+            idx += [a, a + 1, b + 1, a, b + 1, b]
+    return pos, nrm, tan, uv, np.asarray(idx, np.int32)
+
+
 def cylinder_mesh(radius=0.5, height=2.0, segments=16):
     ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
     ring = np.stack([np.cos(ang), np.sin(ang)], axis=-1)  # (S, 2)
@@ -284,12 +322,13 @@ def checker_quad(alpha_leaf=False) -> Scene:
     return b.build("CheckerQuad", cam, light)
 
 
-def sponza_proxy(columns=12, segments=24, extra_boxes=220, seed=7,
+def sponza_proxy(columns=12, segments=48, extra_boxes=600, grid_res=128, seed=7,
                  atlas_dtype=None) -> Scene:
     """Colonnade hall, the perf stand-in for Sponza (BASELINE.md configs).
 
-    Default params yield roughly 25-30k triangles; raise `segments`/`extra_boxes`
-    for high-poly runs (Bistro-like).
+    Default params yield ~200k triangles (real Sponza is ~262k): displaced-grid
+    floor/ceiling/tapestries carry the density, plus columns, clutter, and
+    alpha-masked foliage.  Raise grid_res/extra_boxes for Bistro-scale runs.
     """
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
@@ -307,7 +346,21 @@ def sponza_proxy(columns=12, segments=24, extra_boxes=220, seed=7,
     )
 
     L, W_, H = 24.0, 10.0, 8.0  # hall dimensions
-    b.add(quad_mesh((1, 1)), scale_mat([L / 2, 1, W_ / 2]), **floor_mat)
+    # dense displaced grids carry the triangle budget (floor, ceiling, two
+    # tapestry-like drapes along the walls)
+    b.add(grid_mesh(grid_res, grid_res, (L / 2, W_ / 2), displace=0.03, seed=1),
+          translate([0, 0.0, 0]), **floor_mat)
+    flip_down = scale_mat([1, -1, -1])  # proper rotation (pi about x): faces -y
+    b.add(grid_mesh(grid_res, grid_res, (L / 2, W_ / 2), displace=0.05, seed=2),
+          translate([0, H, 0]) @ flip_down, **wall_mat)
+    drape = grid_mesh(grid_res, grid_res // 2, (L / 2 - 1.0, H / 2 - 1.0),
+                      displace=0.15, seed=3)
+    rot_up = np.array(
+        [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]], np.float32
+    )  # xz-grid -> xy wall panel facing +z
+    b.add(drape, translate([0, H / 2, -W_ / 2 + 0.3]) @ rot_up, **wall_mat)
+    b.add(drape, translate([0, H / 2, W_ / 2 - 0.3]) @ rotate_y(np.pi) @ rot_up,
+          **wall_mat)
     b.add(box_mesh((L / 2, H / 2, 0.2)), translate([0, H / 2, -W_ / 2]), **wall_mat)
     b.add(box_mesh((L / 2, H / 2, 0.2)), translate([0, H / 2, W_ / 2]), **wall_mat)
     b.add(box_mesh((0.2, H / 2, W_ / 2)), translate([-L / 2, H / 2, 0]), **wall_mat)
@@ -357,6 +410,15 @@ def sponza_proxy(columns=12, segments=24, extra_boxes=220, seed=7,
     )
     light = make_directional_light([0.3, -0.85, 0.25], intensity=30.0)
     return b.build("SponzaProxy", cam, light, atlas_dtype=atlas_dtype)
+
+
+def bistro_proxy(atlas_dtype=None) -> Scene:
+    """High-triangle-count stand-in for Bistro (BASELINE.md config 5):
+    dense colonnades + high-res displaced surfaces, ~700k triangles."""
+    return sponza_proxy(
+        columns=28, segments=96, extra_boxes=2400, grid_res=256, seed=11,
+        atlas_dtype=atlas_dtype,
+    )
 
 
 def pica_proxy(grid=6) -> Scene:
