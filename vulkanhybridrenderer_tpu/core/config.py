@@ -89,6 +89,10 @@ class RenderConfig:
     #: "binned" = sort-binned Pallas tile rasterizer (production);
     #: "brute" = O(T*P) reference rasterizer (small scenes / validation)
     raster: str = "binned"
+    #: alpha-masked geometry in the binned raster: "brute" = exact per-fragment
+    #: atlas taps via the reference rasterizer (expensive at high res); "off" =
+    #: skip masked triangles in raster passes (they remain in the BVH for RT)
+    alpha_raster: str = "brute"
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     shadow_rays: int = 4  # raygen.rgen:39-41 loop count
     ao_rays: int = 2  # raygen.rgen:45-55

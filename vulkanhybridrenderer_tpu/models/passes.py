@@ -10,6 +10,7 @@ from vulkanhybridrenderer_tpu.ops import rasterizer_tiled
 def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
     """Rasterizer dispatch per RenderConfig.raster ("binned" Pallas tile kernel vs
     "brute" reference scan).  Both produce identical VisibilityBuffers (tested)."""
+    alpha = alpha and config.alpha_raster != "off"
     if config.raster == "binned":
         return rasterizer_tiled.rasterize_scene(
             scene, clip, width, height, alpha=alpha

@@ -1,5 +1,5 @@
 """Production tiled rasterizer: sort-based triangle binning + a Pallas per-tile
-depth-test kernel.
+depth-test kernel with an MXU (matmul) inner loop.
 
 The brute-force reference rasterizer (ops/rasterizer.py) tests every triangle
 against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
@@ -9,23 +9,33 @@ against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
      covered tile range; triangles spanning <= `expand_cap` tiles emit one entry per
      covered tile into a fixed (T * expand_cap) entry table (padding entries sort to
      a sentinel tile); triangles spanning more tiles go to a small "big" list that
-     every tile tests (floors/walls).  A single stable argsort by tile id + a
-     searchsorted yields per-tile entry ranges -- the whole binning is 3 vector
-     passes + one device sort, no atomics (the GPU version's per-bin atomic
-     counters don't exist on TPU, sorting is the idiomatic replacement).
+     every tile tests (walls/floors).  A single stable argsort by tile id + a
+     searchsorted + an aligned re-pack yields CHUNK-aligned per-tile entry ranges --
+     no atomics (the GPU version's per-bin atomic counters don't exist on TPU;
+     sorting is the idiomatic replacement).  Entries are stored as *plane
+     equations*: barycentrics and depth are affine in screen space, so each
+     triangle becomes 13 coefficients [lam0|lam1|lam2|z as A*px+B*py+C, tri_id].
 
-  2. `rasterize_tiled`: a Pallas kernel, grid = one program per (tile_h x tile_w)
-     pixel tile.  Per-tile entry ranges arrive via PrefetchScalarGridSpec; the
-     kernel DMAs 128-entry chunks of pre-gathered triangle setup rows (SoA (16, E)
-     layout so a chunk is a (16, 128) VMEM tile) from HBM with double buffering,
-     then runs the edge-function depth-test update for each triangle over the whole
-     pixel tile on the VPU.  Outputs the same VisibilityBuffer as the reference
-     rasterizer (they must match exactly -- tested).
+  2. `rasterize_binned`: a Pallas kernel, grid = one program per pixel tile.
+     Per-tile entry ranges arrive via PrefetchScalarGridSpec; chunks of CHUNK
+     triangles are DMA'd from HBM with double buffering, and the depth-test inner
+     loop is pure matrix math on the MXU: with P = (pixels, 3) homogeneous pixel
+     coords and C = (3, CHUNK) plane coefficients,
+
+         lam_k = P @ C_k   (pixels, CHUNK)  for k = 0,1,2;   z = P @ C_z
+
+     coverage = all lam_k >= 0, then two lane reductions extract the max-depth
+     winner (and its tri id / barycentrics) per pixel.  No per-triangle scalar
+     reads -- the original scalar-broadcast formulation stalled ~1000 cycles per
+     triangle on VMEM scalar loads; the matmul form does 128 triangles at once.
 
 Alpha-masked geometry is *excluded* from the binned pass (its per-fragment texture
-kill needs atlas gathers, a bad fit for the inner loop) and is expected to be
-rasterized by the caller with the reference path over the (few) masked triangles,
-then merged via `merge_visibility`.
+kill needs atlas gathers) and rasterized by the caller via the reference path over
+the (few) masked triangles, then merged with `merge_visibility`.
+
+Tie-break parity: within a tile, equal-depth coverage resolves to the largest
+triangle id of the tie (the brute rasterizer resolves to the *last submitted*);
+they differ only on exactly-coplanar overlapping pixels (tested tolerance).
 """
 from __future__ import annotations
 
@@ -36,28 +46,28 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vulkanhybridrenderer_tpu.ops.rasterizer import TriangleSetup, VisibilityBuffer
 
-TILE_H = 32
+TILE_H = 8
 TILE_W = 128
-CHUNK = 128  # triangles per DMA chunk; lane count of the setup SoA tile
+CHUNK = 128  # triangles per DMA chunk (lane count of a plane-coefficient block)
 
-# field rows of the packed setup SoA (16, E)
-_FX0, _FY0, _FX1, _FY1, _FX2, _FY2, _FZ0, _FZ1, _FZ2, _FTRI = range(10)
-_NFIELDS = 16  # padded to a power-of-two-ish row count (sublane-friendly)
+# rows of the packed plane SoA (16, CHUNK):
+# 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
+# 9..11 z plane                         12    tri id (exact float)
+_NFIELDS = 16
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Bins:
-    entry_data: Any  # (nblocks, CHUNK, 16) f32 setup rows, tile-sorted + aligned
-    offsets: Any  # (ntiles + 1,) int32 CHUNK-aligned start per tile
+    entry_data: Any  # (nblocks, 16, CHUNK) f32 plane rows, tile-sorted + aligned
+    offsets: Any  # (ntiles + 1,) int32 CHUNK-aligned entry start per tile
     counts: Any  # (ntiles,) int32 actual entry count per tile
-    big_data: Any  # (big_cap, 16) f32 setup rows of "big" triangles
+    big_data: Any  # (nbig_blocks, 16, CHUNK) f32 plane rows of "big" triangles
     num_big: Any  # () int32
 
 
@@ -65,24 +75,46 @@ def _tile_counts(width: int, height: int, tile_h: int, tile_w: int):
     return math.ceil(width / tile_w), math.ceil(height / tile_h)
 
 
-def _pack_fields(setup: TriangleSetup, tri_ids):
-    """Gather setup rows -> (K, 16) f32, one row per triangle.
-
-    Row-per-triangle layout keeps the kernel's per-triangle fetch a *dynamic
-    sublane* index with static lane offsets (Mosaic rejects dynamic lane
-    indexing)."""
-    sx = setup.sx[tri_ids]
+def _pack_planes(setup: TriangleSetup, tri_ids, valid=None):
+    """Gather + convert triangles to plane-coefficient rows -> (16, K) f32."""
+    sx = setup.sx[tri_ids]  # (K, 3)
     sy = setup.sy[tri_ids]
     z = setup.z[tri_ids]
-    cols = [
-        sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
-        z[:, 0], z[:, 1], z[:, 2],
-        # tri id as exact float (ids < 2^24; Mosaic has no scalar bitcast)
-        tri_ids.astype(jnp.float32),
-    ]
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
+
+    def edge(xa, ya, xb, yb):
+        # e(p) = (xb-xa)*(py-ya) - (yb-ya)*(px-xa), normalized by area
+        a = -(yb - ya) * inv_area
+        b = (xb - xa) * inv_area
+        c = ((yb - ya) * xa - (xb - xa) * ya) * inv_area
+        return a, b, c
+
+    a0, b0, c0 = edge(x1, y1, x2, y2)  # lam0: edge opposite vertex 0
+    a1, b1, c1 = edge(x2, y2, x0, y0)
+    a2, b2, c2 = edge(x0, y0, x1, y1)
+    za = a0 * z[:, 0] + a1 * z[:, 1] + a2 * z[:, 2]
+    zb = b0 * z[:, 0] + b1 * z[:, 1] + b2 * z[:, 2]
+    zc = c0 * z[:, 0] + c1 * z[:, 1] + c2 * z[:, 2]
+
+    rows = [a0, b0, c0, a1, b1, c1, a2, b2, c2, za, zb, zc,
+            tri_ids.astype(jnp.float32)]
+    if valid is not None:
+        # poison invalid/padding rows so they never produce coverage
+        rows = [jnp.where(valid, r, jnp.float32(0.0)) for r in rows[:12]] + [rows[12]]
+        rows[2] = jnp.where(valid, rows[2], -1.0)  # lam0 == -1 everywhere
     k = tri_ids.shape[0]
-    pad = jnp.zeros((k, _NFIELDS - len(cols)), jnp.float32)
-    return jnp.concatenate([jnp.stack(cols, axis=1), pad], axis=1)
+    pad = jnp.zeros((_NFIELDS - len(rows), k), jnp.float32)
+    return jnp.concatenate([jnp.stack(rows), pad], axis=0)
+
+
+def _blocks(packed):
+    """(16, K) -> (K // CHUNK, 16, CHUNK) block-major layout for whole-block DMA."""
+    nf, k = packed.shape
+    nblocks = k // CHUNK
+    return packed.reshape(nf, nblocks, CHUNK).transpose(1, 0, 2)
 
 
 @functools.partial(
@@ -151,14 +183,13 @@ def bin_triangles(
         tile_sorted, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
 
-    # Re-pack per-tile ranges to CHUNK-aligned starts: Mosaic DMA requires lane-dim
-    # slice starts provably 128-aligned, so each tile's entries begin at a multiple
-    # of CHUNK and `counts` carries the true length.
+    # Re-pack per-tile ranges to CHUNK-aligned starts (whole-block DMA: Mosaic
+    # requires aligned lane-dim slices, so the kernel indexes 128-entry blocks).
     counts = offsets_raw[1:] - offsets_raw[:-1]  # (ntiles,)
     aligned_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
-    )  # CHUNK-aligned entry starts; kernel consumes offsets // CHUNK (block ids)
+    )
     e_total = t * expand_cap
     d_total = ((e_total + CHUNK - 1) // CHUNK) * CHUNK + ntiles * CHUNK  # static
     valid_entry = tile_sorted < ntiles
@@ -171,17 +202,14 @@ def bin_triangles(
         d_total,  # dumped into the trailing scratch slot
     )
     tri_dense = jnp.zeros(d_total + 1, jnp.int32).at[dest].set(tri_sorted)[:-1]
-    packed = _pack_fields(setup, tri_dense)  # (d_total, 16)
-    # Block-major (nblocks, 16, CHUNK): whole-block DMA by leading index (lane dim
-    # = CHUNK = 128, satisfying Mosaic's DMA tiling); the kernel transposes each
-    # chunk to (CHUNK, 16) once so per-triangle fetches are dynamic-sublane reads.
-    nblocks = d_total // CHUNK
-    entry_data = packed.reshape(nblocks, CHUNK, _NFIELDS).transpose(0, 2, 1)
+    dense_valid = jnp.zeros(d_total + 1, bool).at[dest].set(valid_entry)[:-1]
+    entry_data = _blocks(_pack_planes(setup, tri_dense, valid=dense_valid))
 
     # ---- big list ----------------------------------------------------------------
     (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=0)
+    big_valid = jnp.arange(big_cap) < jnp.sum(big.astype(jnp.int32))
     num_big = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
-    big_data = _pack_fields(setup, big_idx.astype(jnp.int32))
+    big_data = _blocks(_pack_planes(setup, big_idx.astype(jnp.int32), valid=big_valid))
 
     return Bins(
         entry_data=entry_data,
@@ -199,15 +227,14 @@ def _raster_kernel(
     num_big_ref,  # (1,) SMEM
     # inputs
     entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
-    big_ref,  # (big_cap, 16) VMEM
+    big_ref,  # (nbig_blocks, 16, CHUNK) VMEM resident
     # outputs (blocked per tile)
-    depth_out,  # (tile_h, tile_w)
-    tri_out,
+    depth_out,  # (tile_h, tile_w) f32
+    tri_out,  # int32
     b1_out,
     b2_out,
     # scratch
     chunk_vmem,  # (2, 16, CHUNK) DMA landing buffers
-    tchunk,  # (CHUNK, 16) transposed working copy
     sem,  # DMA semaphores (2,)
     *,
     tile_h: int,
@@ -217,55 +244,58 @@ def _raster_kernel(
     i = pl.program_id(0)
     tile_y = i // ntx
     tile_x = i % ntx
+    npx = tile_h * tile_w
 
-    px = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-        + tile_x.astype(jnp.float32) * tile_w
-        + 0.5
-    )
-    py = (
-        jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-        + tile_y.astype(jnp.float32) * tile_h
-        + 0.5
-    )
+    # homogeneous pixel matrix P: (npx, 3) = [px, py, 1] at pixel centers.
+    # Built from a flat (npx, 1) iota (Mosaic cannot shape-cast (th, tw) ->
+    # (npx, 1)); pixel k of the tile sits at (k % tw, k // tw).
+    flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
+    pxg = (flat % tile_w).astype(jnp.float32) + tile_x.astype(jnp.float32) * tile_w + 0.5
+    pyg = (flat // tile_w).astype(jnp.float32) + tile_y.astype(jnp.float32) * tile_h + 0.5
+    pmat = jnp.concatenate(
+        [pxg, pyg, jnp.ones((npx, 1), jnp.float32)], axis=1
+    )  # (npx, 3)
 
-    depth_out[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    tri_out[...] = jnp.full((tile_h, tile_w), -1, jnp.int32)
-    b1_out[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
-    b2_out[...] = jnp.zeros((tile_h, tile_w), jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    def tri_update(read_scalar, j, active):
-        """One triangle (scalars via read_scalar(field, j)) vs the whole tile."""
-        x0 = read_scalar(_FX0, j)
-        y0 = read_scalar(_FY0, j)
-        x1 = read_scalar(_FX1, j)
-        y1 = read_scalar(_FY1, j)
-        x2 = read_scalar(_FX2, j)
-        y2 = read_scalar(_FY2, j)
-        z0 = read_scalar(_FZ0, j)
-        z1 = read_scalar(_FZ1, j)
-        z2 = read_scalar(_FZ2, j)
-        tid = read_scalar(_FTRI, j)
+    def chunk_update(planes, n_valid, carry):
+        """planes: (16, CHUNK) VMEM value; returns updated (z, tidf, l1, l2),
+        each (npx, 1)."""
+        best_z, best_t, best_1, best_2 = carry
+        lam0 = jnp.dot(pmat, planes[0:3], preferred_element_type=jnp.float32)
+        lam1 = jnp.dot(pmat, planes[3:6], preferred_element_type=jnp.float32)
+        lam2 = jnp.dot(pmat, planes[6:9], preferred_element_type=jnp.float32)
+        z = jnp.dot(pmat, planes[9:12], preferred_element_type=jnp.float32)
+        tid = planes[12:13]  # (1, CHUNK) float ids
 
-        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
-        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-        l0 = e0 * inv_area
-        l1 = e1 * inv_area
-        l2 = e2 * inv_area
-        z = l0 * z0 + l1 * z1 + l2 * z2
-        inside = (
-            (l0 >= 0.0) & (l1 >= 0.0) & (l2 >= 0.0)
-            & (z >= 0.0) & (z <= 1.0) & active
+        covered = (
+            (lam0 >= 0.0) & (lam1 >= 0.0) & (lam2 >= 0.0)
+            & (z >= 0.0) & (z <= 1.0) & (lane < n_valid)
         )
-        better = inside & (z >= depth_out[...])
-        tid_i32 = tid.astype(jnp.int32)
-        depth_out[...] = jnp.where(better, z, depth_out[...])
-        tri_out[...] = jnp.where(better, tid_i32, tri_out[...])
-        b1_out[...] = jnp.where(better, l1, b1_out[...])
-        b2_out[...] = jnp.where(better, l2, b2_out[...])
+        zm = jnp.where(covered, z, -1.0)
+        zb = jnp.max(zm, axis=1, keepdims=True)  # (npx, 1)
+        winners = covered & (zm == zb)
+        # unique winner: the largest tri id among equal-depth lanes
+        tidw = jnp.where(winners, tid, -1.0)
+        tb = jnp.max(tidw, axis=1, keepdims=True)
+        w2 = winners & (tidw == tb)
+        l1b = jnp.max(jnp.where(w2, lam1, -jnp.inf), axis=1, keepdims=True)
+        l2b = jnp.max(jnp.where(w2, lam2, -jnp.inf), axis=1, keepdims=True)
+
+        better = (zb > -0.5) & (zb >= best_z)
+        return (
+            jnp.where(better, zb, best_z),
+            jnp.where(better, tb, best_t),
+            jnp.where(better, l1b, best_1),
+            jnp.where(better, l2b, best_2),
+        )
+
+    carry0 = (
+        jnp.zeros((npx, 1), jnp.float32),
+        jnp.full((npx, 1), -1.0, jnp.float32),
+        jnp.zeros((npx, 1), jnp.float32),
+        jnp.zeros((npx, 1), jnp.float32),
+    )
 
     # ---- binned entries, double-buffered DMA ------------------------------------
     start_block = offsets_ref[i] // CHUNK
@@ -274,16 +304,14 @@ def _raster_kernel(
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            entry_hbm.at[start_block + c],
-            chunk_vmem.at[slot],
-            sem.at[slot],
+            entry_hbm.at[start_block + c], chunk_vmem.at[slot], sem.at[slot]
         )
 
     @pl.when(n_chunks > 0)
     def _():
         get_dma(0, 0).start()
 
-    def chunk_body(c, _):
+    def chunk_body(c, carry):
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -291,32 +319,25 @@ def _raster_kernel(
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(slot, c).wait()
-        tchunk[...] = chunk_vmem[slot].T
-        remaining = n - c * CHUNK
+        return chunk_update(chunk_vmem[slot], n - c * CHUNK, carry)
 
-        def inner(j, _):
-            def read_scalar(field, jj):
-                return tchunk[jj, field]
+    carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
 
-            tri_update(read_scalar, j, j < remaining)
-            return 0
-
-        jax.lax.fori_loop(0, jnp.minimum(remaining, CHUNK), inner, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
-
-    # ---- big triangles (already in VMEM) -----------------------------------------
+    # ---- big triangles (VMEM resident) -------------------------------------------
     nb = num_big_ref[0]
+    nb_chunks = (nb + CHUNK - 1) // CHUNK
 
-    def big_body(j, _):
-        def read_scalar(field, jj):
-            return big_ref[jj, field]
+    def big_body(c, carry):
+        return chunk_update(big_ref[c], nb - c * CHUNK, carry)
 
-        tri_update(read_scalar, j, j < nb)
-        return 0
+    carry = jax.lax.fori_loop(0, nb_chunks, big_body, carry)
 
-    jax.lax.fori_loop(0, nb, big_body, 0)
+    best_z, best_t, best_1, best_2 = carry
+    has = best_t >= 0.0
+    depth_out[...] = best_z
+    tri_out[...] = jnp.where(has, best_t, -1.0).astype(jnp.int32)
+    b1_out[...] = jnp.where(has, best_1, 0.0)
+    b2_out[...] = jnp.where(has, best_2, 0.0)
 
 
 @functools.partial(
@@ -333,8 +354,7 @@ def rasterize_binned(
 ) -> VisibilityBuffer:
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
-    h_pad = nty * tile_h
-    w_pad = ntx * tile_w
+    npx = tile_h * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -343,16 +363,16 @@ def rasterize_binned(
             pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # big_data resident
         ],
+        # flat (npx, 1) blocks per tile; untiled to (H, W) below in XLA (Mosaic
+        # cannot shape-cast between (npx, 1) and (tile_h, tile_w) layouts)
         out_specs=[
             pl.BlockSpec(
-                (tile_h, tile_w), lambda i, *_: (i // ntx, i % ntx),
-                memory_space=pltpu.VMEM,
+                (npx, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             )
         ]
         * 4,
         scratch_shapes=[
             pltpu.VMEM((2, _NFIELDS, CHUNK), jnp.float32),
-            pltpu.VMEM((CHUNK, _NFIELDS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -364,11 +384,14 @@ def rasterize_binned(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         bins.offsets,
@@ -377,10 +400,19 @@ def rasterize_binned(
         bins.entry_data,
         bins.big_data,
     )
+
+    def untile(a):
+        img = (
+            a.reshape(nty, ntx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(nty * tile_h, ntx * tile_w)
+        )
+        return img[:height, :width]
+
     return VisibilityBuffer(
-        tri_id=tri_f[:height, :width],
-        depth=depth[:height, :width],
-        bary=jnp.stack([b1[:height, :width], b2[:height, :width]], axis=-1),
+        tri_id=untile(tri_f),
+        depth=untile(depth),
+        bary=jnp.stack([untile(b1), untile(b2)], axis=-1),
     )
 
 
