@@ -1,18 +1,27 @@
 """Wavefront ray traversal over the threaded LBVH (ops/bvh.py).
 
 Replaces vkCmdTraceRaysKHR / rayQuery (raytracing_execution_context.cpp:4-13,
-rayquery default.frag:36-44).  TPU-first formulation: the whole ray wavefront steps
-through the tree in lockstep -- per iteration every ray does one uniform
-gather + slab-test/triangle-test + select; the skip-pointer (escape) threading means
-per-ray state is a single node index, no stacks, no divergence beyond masking.
+rayquery default.frag:36-44).  TPU-first formulation: a ray wavefront steps through
+the skip-pointer-threaded tree in lockstep -- per iteration every ray does one
+gather + slab-test/triangle-test + select; per-ray state is a single node index
+(no stacks).
 
-Ray-flag parity:
-  * anyhit=True == gl_RayFlagsTerminateOnFirstHitEXT | SkipClosestHit (shadow/AO
-    rays, raygen.rgen:39-55): a ray retires at its first accepted hit.
-  * hit_filter implements non-opaque any-hit shaders (shadow_anyhit.rahit:22-26
-    alpha testing): return False to ignoreIntersectionEXT.
-  * closest-hit (anyhit=False) returns the nearest accepted hit with barycentrics
-    matching GPU hitAttribute convention (u, v weights of vertices 1, 2).
+Memory-layout design (the per-step gathers dominate):
+  * node records are packed into one (2N-1, 8) f32 row --
+    [lo.xyz, hi.xyz, next_or_tri, escape] -- so each step is ONE row gather
+    instead of ~9 scalar gathers; leaves encode next = -(tri + 2) < 0.
+  * triangle vertices are packed to (T, 9) rows, gathered only at leaves.
+  * rays are traced in `strips` sequential slices (lax.map): the lockstep loop
+    pays for the *worst* ray in a slice, so slicing coherent ray batches (image
+    tiles, shadow rays) lets early-converging strips retire instead of idling
+    behind the globally worst ray.
+
+Ray-flag parity with the reference:
+  * anyhit=True == TerminateOnFirstHit | SkipClosestHit (shadow/AO rays).
+  * hit_filter implements non-opaque any-hit alpha testing
+    (shadow_anyhit.rahit:22-26): return False to ignoreIntersectionEXT.
+  * closest-hit returns the nearest accepted hit with GPU-convention
+    barycentrics (u, v weight vertices 1, 2).
 """
 from __future__ import annotations
 
@@ -39,6 +48,24 @@ class HitRecord:
         return self.tri >= 0
 
 
+def pack_nodes(bvh: BVH):
+    """(2N-1, 8) f32 node rows: [lo.xyz, hi.xyz, next_or_tri, escape].
+
+    Internal nodes: next = left child id (>= 0).  Leaves: next = -(tri + 2) (< -1).
+    escape = -1 terminates; ids stay exact as floats (< 2^24)."""
+    is_leaf = bvh.leaf_tri >= 0
+    nxt = jnp.where(is_leaf, -(bvh.leaf_tri + 2), bvh.left).astype(jnp.float32)
+    esc = bvh.escape.astype(jnp.float32)
+    return jnp.concatenate(
+        [bvh.aabb_min, bvh.aabb_max, nxt[:, None], esc[:, None]], axis=1
+    )
+
+
+def pack_tris(tri_verts):
+    """(T, 3, 3) -> (T, 9) rows for single-gather vertex fetch."""
+    return tri_verts.reshape(tri_verts.shape[0], 9)
+
+
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
     """Batch Möller-Trumbore, no backface culling (Vulkan RT default: the reference
     sets no cull flags).  All args (..., 3); returns (t, u, v, ok)."""
@@ -57,7 +84,81 @@ def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
     return t, u, v, ok
 
 
-@partial(jax.jit, static_argnames=("anyhit", "hit_filter", "max_steps"))
+def _trace_flat(
+    nodes,  # (2N-1, 8) packed
+    tris9,  # (T, 9) packed
+    root: int,
+    origin,
+    direction,
+    tmin,
+    tmax,
+    anyhit: bool,
+    hit_filter,
+    max_steps: int,
+):
+    r = origin.shape[0]
+    d = direction
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    inv_d = 1.0 / safe_d
+
+    def cond(state):
+        node, t_best, tri_best, u_best, v_best, steps = state
+        return jnp.any(node >= 0) & (steps < max_steps)
+
+    def body(state):
+        node, t_best, tri_best, u_best, v_best, steps = state
+        live = node >= 0
+        row = nodes[jnp.maximum(node, 0)]  # (R, 8) single gather
+        nxt = row[:, 6]
+        esc = row[:, 7].astype(jnp.int32)
+        is_leaf = nxt < -1.5
+
+        # slab test against the node AABB, bounded by the current best t
+        t0 = (row[:, 0:3] - origin) * inv_d
+        t1 = (row[:, 3:6] - origin) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        box_hit = jnp.maximum(tn, tmin) <= jnp.minimum(tf, t_best)
+
+        # leaf: triangle intersection (single row gather)
+        tri = jnp.where(is_leaf, (-nxt - 2.0).astype(jnp.int32), 0)
+        tv = tris9[tri]  # (R, 9)
+        t, u, v, ok = moller_trumbore(
+            tv[:, 0:3], tv[:, 3:6], tv[:, 6:9], origin, d
+        )
+        ok &= is_leaf & live & (t >= tmin) & (t < t_best)
+        if hit_filter is not None:
+            ok &= hit_filter(tri, u, v, ok)
+
+        t_best = jnp.where(ok, t, t_best)
+        tri_best = jnp.where(ok, tri, tri_best)
+        u_best = jnp.where(ok, u, u_best)
+        v_best = jnp.where(ok, v, v_best)
+
+        nxt_node = jnp.where(
+            is_leaf | ~box_hit, esc, nxt.astype(jnp.int32)
+        )
+        if anyhit:
+            nxt_node = jnp.where(ok, -1, nxt_node)  # terminate on first hit
+        node = jnp.where(live, nxt_node, node)
+        return node, t_best, tri_best, u_best, v_best, steps + 1
+
+    init = (
+        jnp.full((r,), root, jnp.int32),
+        tmax,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.int32(0),
+    )
+    node, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(cond, body, init)
+    return t_best, tri_best, u_best, v_best
+
+
+@partial(
+    jax.jit,
+    static_argnames=("anyhit", "hit_filter", "max_steps", "strips"),
+)
 def trace(
     bvh: BVH,
     tri_verts,
@@ -68,73 +169,60 @@ def trace(
     anyhit: bool = False,
     hit_filter: Callable | None = None,
     max_steps: int | None = None,
+    strips: int = 16,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
-    hit_filter(tri (R,), u, v, leaf_mask) -> (R,) bool accept (False = ignore the
-    intersection, like ignoreIntersectionEXT).
+    strips: number of sequential ray slices (see module docstring); rays are
+    padded to a multiple.  hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
-    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
+    tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
+    tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
-    d = direction
-    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
-    inv_d = 1.0 / safe_d
-
-    root = jnp.full((r,), bvh.root, jnp.int32)
-    n_nodes = bvh.left.shape[0]
+    nodes = pack_nodes(bvh)
+    tris9 = pack_tris(tri_verts)
+    n_nodes = nodes.shape[0]
     if max_steps is None:
         max_steps = 4 * n_nodes + 4
 
-    def cond(state):
-        node, t_best, tri_best, u_best, v_best, steps = state
-        return jnp.any(node >= 0) & (steps < max_steps)
+    strips = max(1, min(strips, max(1, r // 1024)))
+    pad = (-r) % strips
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)]
+        )
+        tmin_a = jnp.concatenate([tmin_a, jnp.zeros((pad,), jnp.float32)])
+        # padding rays get tmax < tmin -> never hit, exit instantly
+        tmax_a = jnp.concatenate([tmax_a, jnp.full((pad,), -1.0, jnp.float32)])
+    rp = r + pad
 
-    def body(state):
-        node, t_best, tri_best, u_best, v_best, steps = state
-        live = node >= 0
-        nd = jnp.maximum(node, 0)
-        tri_sorted = bvh.leaf_tri[nd]
-        is_leaf = tri_sorted >= 0
+    def strip_fn(args):
+        o, dd, tn, tx = args
+        return _trace_flat(
+            nodes, tris9, bvh.root, o, dd, tn, tx, anyhit, hit_filter, max_steps
+        )
 
-        # slab test against the node AABB, bounded by the current best t
-        lo = bvh.aabb_min[nd]
-        hi = bvh.aabb_max[nd]
-        t0 = (lo - origin) * inv_d
-        t1 = (hi - origin) * inv_d
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        box_hit = jnp.maximum(tn, tmin) <= jnp.minimum(tf, t_best)
+    if strips > 1:
+        shaped = (
+            origin.reshape(strips, rp // strips, 3),
+            direction.reshape(strips, rp // strips, 3),
+            tmin_a.reshape(strips, rp // strips),
+            tmax_a.reshape(strips, rp // strips),
+        )
+        t_best, tri_best, u_best, v_best = jax.lax.map(strip_fn, shaped)
+        t_best = t_best.reshape(rp)[:r]
+        tri_best = tri_best.reshape(rp)[:r]
+        u_best = u_best.reshape(rp)[:r]
+        v_best = v_best.reshape(rp)[:r]
+    else:
+        t_best, tri_best, u_best, v_best = strip_fn(
+            (origin, direction, tmin_a, tmax_a)
+        )
+        t_best, tri_best = t_best[:r], tri_best[:r]
+        u_best, v_best = u_best[:r], v_best[:r]
 
-        # leaf: triangle intersection
-        tri = jnp.maximum(tri_sorted, 0)
-        tv = tri_verts[tri]  # (R, 3, 3)
-        t, u, v, ok = moller_trumbore(tv[:, 0], tv[:, 1], tv[:, 2], origin, d)
-        ok &= is_leaf & live & (t >= tmin) & (t < t_best)
-        if hit_filter is not None:
-            ok &= hit_filter(tri, u, v, ok)
-
-        t_best = jnp.where(ok, t, t_best)
-        tri_best = jnp.where(ok, tri, tri_best)
-        u_best = jnp.where(ok, u, u_best)
-        v_best = jnp.where(ok, v, v_best)
-
-        nxt = jnp.where(is_leaf | ~box_hit, bvh.escape[nd], bvh.left[nd])
-        if anyhit:
-            nxt = jnp.where(ok, -1, nxt)  # terminate on first hit
-        node = jnp.where(live, nxt, node)
-        return node, t_best, tri_best, u_best, v_best, steps + 1
-
-    init = (
-        root,
-        tmax,
-        jnp.full((r,), -1, jnp.int32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.int32(0),
-    )
-    node, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(cond, body, init)
     return HitRecord(t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 

@@ -151,15 +151,20 @@ class Renderer:
         self.stats.update(timings)
         return timings
 
+    def fetch_resource(self, resource: str):
+        """Render one frame and return any named graph resource (jitted -- the
+        whole graph compiles; eager graph.run would dispatch op-by-op)."""
+        key = self._key()
+        self._get_frame_fn()
+        graph = self._graphs[key]
+        pfd = self._make_pfd()
+        fetch = jax.jit(lambda res: graph.run(res)[resource])
+        return fetch(self._resources(pfd))
+
     def debug_dump(self, resource: str, path: str, srgb: bool = True):
         """Render and save any named graph resource as PNG (the reference's
         debug-texture viewer, user_interface.cpp:129-150)."""
-        key = self._key()
-        fn, _ = self._get_frame_fn()
-        graph = self._graphs[key]
-        pfd = self._make_pfd()
-        res = graph.run(self._resources(pfd))
-        arr = np.asarray(res[resource])
+        arr = np.asarray(self.fetch_resource(resource))
         save_png(path, arr, srgb=srgb)
         return arr
 
@@ -194,7 +199,7 @@ class Renderer:
         res = self._resources(pfd)
         for name in graph.find_execution_order():
             p = graph.passes[name]
-            produced = p.fn(res)
+            produced = jax.jit(p.fn)(res)
             for out_name in p.outputs:
                 leaves = jax.tree_util.tree_leaves(produced[out_name])
                 for leaf in leaves:
