@@ -54,6 +54,7 @@ from vulkanhybridrenderer_tpu.ops.rasterizer import TriangleSetup, VisibilityBuf
 TILE_H = 8
 TILE_W = 128
 CHUNK = 128  # triangles per DMA chunk (lane count of a plane-coefficient block)
+TILES_PER_PROG = 128  # tiles (columns) per grid program
 
 # rows of the packed plane SoA (16, CHUNK):
 # 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
@@ -128,7 +129,7 @@ def bin_triangles(
     height: int,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
-    expand_cap: int = 8,
+    expand_cap: int = 32,
     big_cap: int = 256,
     cull_backface: bool = True,
     exclude_mask=None,
@@ -191,6 +192,17 @@ def bin_triangles(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
     )
     e_total = t * expand_cap
+    # pad tile tables to a multiple of TILES_PER_PROG (padding tiles are empty)
+    ntiles_pad = ((ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG) * TILES_PER_PROG
+    if ntiles_pad != ntiles:
+        offsets_pad = jnp.concatenate(
+            [offsets, jnp.broadcast_to(offsets[-1:], (ntiles_pad - ntiles,))]
+        )
+        counts_pad = jnp.concatenate(
+            [counts, jnp.zeros(ntiles_pad - ntiles, jnp.int32)]
+        )
+    else:
+        offsets_pad, counts_pad = offsets, counts
     d_total = ((e_total + CHUNK - 1) // CHUNK) * CHUNK + ntiles * CHUNK  # static
     valid_entry = tile_sorted < ntiles
     rank = jnp.arange(e_total, dtype=jnp.int32) - offsets_raw[
@@ -213,8 +225,8 @@ def bin_triangles(
 
     return Bins(
         entry_data=entry_data,
-        offsets=offsets,
-        counts=counts,
+        offsets=offsets_pad,
+        counts=counts_pad,
         big_data=big_data,
         num_big=num_big,
     )
@@ -222,14 +234,14 @@ def bin_triangles(
 
 def _raster_kernel(
     # scalar prefetch
-    offsets_ref,  # (ntiles + 1,) SMEM (CHUNK-aligned starts)
-    counts_ref,  # (ntiles,) SMEM (true entry counts)
+    offsets_ref,  # (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
+    counts_ref,  # (ntiles_pad,) SMEM (true entry counts)
     num_big_ref,  # (1,) SMEM
     # inputs
     entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
     big_ref,  # (nbig_blocks, 16, CHUNK) VMEM resident
-    # outputs (blocked per tile)
-    depth_out,  # (tile_h, tile_w) f32
+    # outputs ((npx, TILES_PER_PROG) block: one column per tile of this program)
+    depth_out,  # (npx, TILES_PER_PROG) f32
     tri_out,  # int32
     b1_out,
     b2_out,
@@ -241,31 +253,41 @@ def _raster_kernel(
     tile_w: int,
     ntx: int,
 ):
-    i = pl.program_id(0)
-    tile_y = i // ntx
-    tile_x = i % ntx
+    """Orientation: PIXELS on sublanes, TRIANGLES on lanes -- plane data arrives
+    as (16, CHUNK) rows and is consumed directly as (1, CHUNK) broadcasts, so the
+    kernel contains no transposes/relayouts at all (the earlier pixels-on-lanes
+    variant spent ~10x the math cost in per-chunk (16,128)->(128,16) relayouts)."""
+    prog = pl.program_id(0)
     npx = tile_h * tile_w
-
-    # homogeneous pixel matrix P: (npx, 3) = [px, py, 1] at pixel centers.
-    # Built from a flat (npx, 1) iota (Mosaic cannot shape-cast (th, tw) ->
-    # (npx, 1)); pixel k of the tile sits at (k % tw, k // tw).
     flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
-    pxg = (flat % tile_w).astype(jnp.float32) + tile_x.astype(jnp.float32) * tile_w + 0.5
-    pyg = (flat // tile_w).astype(jnp.float32) + tile_y.astype(jnp.float32) * tile_h + 0.5
-    pmat = jnp.concatenate(
-        [pxg, pyg, jnp.ones((npx, 1), jnp.float32)], axis=1
-    )  # (npx, 3)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (1, TILES_PER_PROG), 1)
 
-    def chunk_update(planes, n_valid, carry):
-        """planes: (16, CHUNK) VMEM value; returns updated (z, tidf, l1, l2),
-        each (npx, 1)."""
+    nb = num_big_ref[0]
+    nb_chunks = (nb + CHUNK - 1) // CHUNK
+
+    def lane_max(x):
+        """All-lanes max via a log2 roll tree (Mosaic lowers jnp.max(axis=1) far
+        less efficiently); returns (npx, CHUNK) with the max replicated."""
+        s = CHUNK >> 1
+        while s >= 1:
+            x = jnp.maximum(x, pltpu.roll(x, s, 1))
+            s >>= 1
+        return x
+
+    def chunk_update(planes, n_valid, carry, pxg, pyg):
+        """planes: (16, CHUNK) VMEM value; pxg/pyg: (npx, 1) pixel coords.
+        lam_k = A_k * px + B_k * py + C_k as (npx, CHUNK) broadcast FMAs; winner
+        reduction over the triangle (lane) axis."""
         best_z, best_t, best_1, best_2 = carry
-        lam0 = jnp.dot(pmat, planes[0:3], preferred_element_type=jnp.float32)
-        lam1 = jnp.dot(pmat, planes[3:6], preferred_element_type=jnp.float32)
-        lam2 = jnp.dot(pmat, planes[6:9], preferred_element_type=jnp.float32)
-        z = jnp.dot(pmat, planes[9:12], preferred_element_type=jnp.float32)
+
+        def plane(k):
+            return pxg * planes[k : k + 1] + pyg * planes[k + 1 : k + 2] + planes[k + 2 : k + 3]
+
+        lam0 = plane(0)
+        lam1 = plane(3)
+        lam2 = plane(6)
+        z = plane(9)
         tid = planes[12:13]  # (1, CHUNK) float ids
 
         covered = (
@@ -273,14 +295,16 @@ def _raster_kernel(
             & (z >= 0.0) & (z <= 1.0) & (lane < n_valid)
         )
         zm = jnp.where(covered, z, -1.0)
-        zb = jnp.max(zm, axis=1, keepdims=True)  # (npx, 1)
+        zb = lane_max(zm)  # (npx, CHUNK) replicated
         winners = covered & (zm == zb)
         # unique winner: the largest tri id among equal-depth lanes
         tidw = jnp.where(winners, tid, -1.0)
-        tb = jnp.max(tidw, axis=1, keepdims=True)
+        tb = lane_max(tidw)
         w2 = winners & (tidw == tb)
-        l1b = jnp.max(jnp.where(w2, lam1, -jnp.inf), axis=1, keepdims=True)
-        l2b = jnp.max(jnp.where(w2, lam2, -jnp.inf), axis=1, keepdims=True)
+        l1b = lane_max(jnp.where(w2, lam1, -jnp.float32(3.4e38)))[:, :1]
+        l2b = lane_max(jnp.where(w2, lam2, -jnp.float32(3.4e38)))[:, :1]
+        zb = zb[:, :1]
+        tb = tb[:, :1]
 
         better = (zb > -0.5) & (zb >= best_z)
         return (
@@ -290,54 +314,82 @@ def _raster_kernel(
             jnp.where(better, l2b, best_2),
         )
 
-    carry0 = (
-        jnp.zeros((npx, 1), jnp.float32),
-        jnp.full((npx, 1), -1.0, jnp.float32),
-        jnp.zeros((npx, 1), jnp.float32),
-        jnp.zeros((npx, 1), jnp.float32),
-    )
-
-    # ---- binned entries, double-buffered DMA ------------------------------------
-    start_block = offsets_ref[i] // CHUNK
-    n = counts_ref[i]
-    n_chunks = (n + CHUNK - 1) // CHUNK
-
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            entry_hbm.at[start_block + c], chunk_vmem.at[slot], sem.at[slot]
+    # Each grid program rasterizes TILES_PER_PROG consecutive tiles; per-tile
+    # results are (npx, 1) columns merged into the (npx, TILES_PER_PROG) block.
+    def subtile_body(s, blocks):
+        bz, bt, bb1, bb2 = blocks
+        i = prog * TILES_PER_PROG + s
+        tile_y = i // ntx
+        tile_x = i % ntx
+        pxg = (
+            (flat % tile_w).astype(jnp.float32)
+            + tile_x.astype(jnp.float32) * tile_w + 0.5
+        )
+        pyg = (
+            (flat // tile_w).astype(jnp.float32)
+            + tile_y.astype(jnp.float32) * tile_h + 0.5
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        carry0 = (
+            jnp.zeros((npx, 1), jnp.float32),
+            jnp.full((npx, 1), -1.0, jnp.float32),
+            jnp.zeros((npx, 1), jnp.float32),
+            jnp.zeros((npx, 1), jnp.float32),
+        )
 
-    def chunk_body(c, carry):
-        slot = c % 2
+        # ---- binned entries, double-buffered DMA --------------------------------
+        start_block = offsets_ref[i] // CHUNK
+        n = counts_ref[i]
+        n_chunks = (n + CHUNK - 1) // CHUNK
 
-        @pl.when(c + 1 < n_chunks)
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                entry_hbm.at[start_block + c], chunk_vmem.at[slot], sem.at[slot]
+            )
+
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(slot, c).wait()
-        return chunk_update(chunk_vmem[slot], n - c * CHUNK, carry)
+        def chunk_body(c, carry):
+            slot = c % 2
 
-    carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
 
-    # ---- big triangles (VMEM resident) -------------------------------------------
-    nb = num_big_ref[0]
-    nb_chunks = (nb + CHUNK - 1) // CHUNK
+            get_dma(slot, c).wait()
+            return chunk_update(chunk_vmem[slot], n - c * CHUNK, carry, pxg, pyg)
 
-    def big_body(c, carry):
-        return chunk_update(big_ref[c], nb - c * CHUNK, carry)
+        carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
 
-    carry = jax.lax.fori_loop(0, nb_chunks, big_body, carry)
+        # ---- big triangles (VMEM resident) ---------------------------------------
+        def big_body(c, carry):
+            return chunk_update(big_ref[c], nb - c * CHUNK, carry, pxg, pyg)
 
-    best_z, best_t, best_1, best_2 = carry
-    has = best_t >= 0.0
-    depth_out[...] = best_z
-    tri_out[...] = jnp.where(has, best_t, -1.0).astype(jnp.int32)
-    b1_out[...] = jnp.where(has, best_1, 0.0)
-    b2_out[...] = jnp.where(has, best_2, 0.0)
+        carry = jax.lax.fori_loop(0, nb_chunks, big_body, carry)
+
+        best_z, best_t, best_1, best_2 = carry
+        has = best_t >= 0.0
+        mask = colid == s
+        return (
+            jnp.where(mask, best_z, bz),
+            jnp.where(mask, jnp.where(has, best_t, -1.0), bt),
+            jnp.where(mask, jnp.where(has, best_1, 0.0), bb1),
+            jnp.where(mask, jnp.where(has, best_2, 0.0), bb2),
+        )
+
+    blocks0 = (
+        jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
+        jnp.full((npx, TILES_PER_PROG), -1.0, jnp.float32),
+        jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
+        jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
+    )
+    bz, bt, bb1, bb2 = jax.lax.fori_loop(0, TILES_PER_PROG, subtile_body, blocks0)
+    depth_out[...] = bz
+    tri_out[...] = bt.astype(jnp.int32)
+    b1_out[...] = bb1
+    b2_out[...] = bb2
 
 
 @functools.partial(
@@ -354,20 +406,24 @@ def rasterize_binned(
 ) -> VisibilityBuffer:
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
+    ntiles_pad = (
+        (ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG
+    ) * TILES_PER_PROG
     npx = tile_h * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(ntiles,),
+        grid=(ntiles_pad // TILES_PER_PROG,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # big_data resident
         ],
-        # flat (npx, 1) blocks per tile; untiled to (H, W) below in XLA (Mosaic
-        # cannot shape-cast between (npx, 1) and (tile_h, tile_w) layouts)
+        # one column per tile, TILES_PER_PROG columns per program block; untiled
+        # to (H, W) below in XLA.
         out_specs=[
             pl.BlockSpec(
-                (npx, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                (npx, TILES_PER_PROG), lambda j, *_: (0, j),
+                memory_space=pltpu.VMEM,
             )
         ]
         * 4,
@@ -384,13 +440,13 @@ def rasterize_binned(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.int32),
-            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * npx, 1), jnp.float32),
+            jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
+            jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.int32),
+            jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
+            jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -403,7 +459,8 @@ def rasterize_binned(
 
     def untile(a):
         img = (
-            a.reshape(nty, ntx, tile_h, tile_w)
+            a.T[:ntiles]
+            .reshape(nty, ntx, tile_h, tile_w)
             .transpose(0, 2, 1, 3)
             .reshape(nty * tile_h, ntx * tile_w)
         )
