@@ -52,19 +52,20 @@ def main() -> None:
     )
     r = Renderer(scene, cfg, path=path)
 
-    # warm up: compile + 2 frames
+    # warm up: compile + 2 frames (np.asarray forces real execution -- on this
+    # runtime block_until_ready can return before async device faults surface)
     out = r.render_frame()
-    jax.block_until_ready(out)
+    np.asarray(out)
     out = r.render_frame()
-    jax.block_until_ready(out)
+    np.asarray(out)
 
     t0 = time.perf_counter()
     for _ in range(frames):
         out = r.render_frame(sync=False)
-    jax.block_until_ready(out)
+    host = np.asarray(out)
     ms = (time.perf_counter() - t0) * 1e3 / frames
 
-    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(host).all()
     target_ms = 16.6  # BASELINE.md: 60 FPS full hybrid at 1080p
     print(
         json.dumps(

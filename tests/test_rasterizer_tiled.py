@@ -37,12 +37,11 @@ def test_binned_matches_brute_cornell():
     w, h = 160, 128
     clip, setup = _clip_setup(sc, w, h)
     brute = rasterizer.rasterize(setup, w, h, chunk=64)
-    bins = rt.bin_triangles(setup, w, h)
-    binned = rt.rasterize_binned(bins, w, h, interpret=True)
-    _assert_vis_equal(brute, binned)
-    agree = (np.asarray(brute.tri_id) == np.asarray(binned.tri_id))
+    full = rt.rasterize_scene(sc.buffers, clip, w, h, interpret=True)
+    _assert_vis_equal(brute, full)
+    agree = (np.asarray(brute.tri_id) == np.asarray(full.tri_id))
     bary_a = np.asarray(brute.bary)[agree]
-    bary_b = np.asarray(binned.bary)[agree]
+    bary_b = np.asarray(full.bary)[agree]
     np.testing.assert_allclose(bary_a, bary_b, atol=1e-5)
 
 
@@ -50,18 +49,10 @@ def test_binned_matches_brute_sponza():
     sc = procedural.sponza_proxy(columns=3, segments=6, extra_boxes=20, grid_res=8)
     w, h = 192, 96
     clip, setup = _clip_setup(sc, w, h)
-    # exclude alpha-masked tris from both sides for a pure opaque comparison
-    excl = np.asarray(sc.buffers.materials.alpha_mask)[
-        np.asarray(sc.buffers.tri_prim)
-    ] == 1
-    setup_opaque = rasterizer.TriangleSetup(
-        sx=setup.sx, sy=setup.sy, z=setup.z, inv_w=setup.inv_w,
-        valid=setup.valid & ~jnp.asarray(excl),
-    )
-    brute = rasterizer.rasterize(setup_opaque, w, h, chunk=64)
-    bins = rt.bin_triangles(setup, w, h, exclude_mask=jnp.asarray(excl))
-    binned = rt.rasterize_binned(bins, w, h, interpret=True)
-    _assert_vis_equal(brute, binned)
+    # render masked geometry solid on both sides for a pure geometric comparison
+    brute = rasterizer.rasterize(setup, w, h, chunk=64)
+    full = rt.rasterize_scene(sc.buffers, clip, w, h, interpret=True, alpha=False)
+    _assert_vis_equal(brute, full)
 
 
 def test_rasterize_scene_with_alpha():

@@ -136,26 +136,16 @@ def rasterize(
             lam = jnp.stack([l0, l1, l2], axis=-1)
             inside &= frag_mask_fn(tri_ids, lam, w_inv)
 
-        z_masked = jnp.where(inside, z_px, -1.0)
-        # Reverse-Z: larger depth wins.  Later triangle wins ties (GREATER_OR_EQUAL):
-        # scan chunks in order and pick the *last* max within a chunk.
-        rev = z_masked[::-1]
-        k_rev = jnp.argmax(rev, axis=0)
-        k = chunk - 1 - k_rev
-        zbest = jnp.take_along_axis(z_masked, k[None], axis=0)[0]
-        take = lambda a: jnp.take_along_axis(a, k[None], axis=0)[0]
-        b1 = take(l1)
-        b2 = take(l2)
-        tid = tri_ids[k]
-
-        # Covered fragments carry z in [0, 1]; -1 marks no coverage and can never
-        # beat the clear depth under `covered`.
-        covered = zbest > -0.5
-        better = covered & (zbest >= best_z)
-        best_z = jnp.where(better, zbest, best_z)
-        best_tri = jnp.where(better, tid, best_tri)
-        best_b1 = jnp.where(better, b1, best_b1)
-        best_b2 = jnp.where(better, b2, best_b2)
+        # Reverse-Z: larger depth wins; later triangle wins ties (GREATER_OR_EQUAL).
+        # Merge triangles in submission order with static slices -- argmax +
+        # take_along_axis compiles to gathers, which are pathologically slow on
+        # TPU (hundreds of ms per full-frame chunk).
+        for j in range(chunk):
+            better = inside[j] & (z_px[j] >= best_z)
+            best_z = jnp.where(better, z_px[j], best_z)
+            best_tri = jnp.where(better, tri_ids[j], best_tri)
+            best_b1 = jnp.where(better, l1[j], best_b1)
+            best_b2 = jnp.where(better, l2[j], best_b2)
         return (best_z, best_tri, best_b1, best_b2), None
 
     init = (

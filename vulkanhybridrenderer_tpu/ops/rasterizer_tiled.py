@@ -55,6 +55,7 @@ TILE_H = 8
 TILE_W = 128
 CHUNK = 128  # triangles per DMA chunk (lane count of a plane-coefficient block)
 TILES_PER_PROG = 128  # tiles (columns) per grid program
+GROUP = 8  # entry blocks fetched per DMA (amortizes DMA latency)
 
 # rows of the packed plane SoA (16, CHUNK):
 # 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
@@ -66,9 +67,10 @@ _NFIELDS = 16
 @dataclasses.dataclass(frozen=True)
 class Bins:
     entry_data: Any  # (nblocks, 16, CHUNK) f32 plane rows, tile-sorted + aligned
-    offsets: Any  # (ntiles + 1,) int32 CHUNK-aligned entry start per tile
-    counts: Any  # (ntiles,) int32 actual entry count per tile
-    big_data: Any  # (nbig_blocks, 16, CHUNK) f32 plane rows of "big" triangles
+    offsets: Any  # (ntiles_pad + 1,) int32 CHUNK-aligned entry start per tile
+    counts: Any  # (ntiles_pad,) int32 actual entry count per tile
+    chunk_tile: Any  # (nblocks,) int32 owning tile of each 128-entry block
+    big_data: Any  # (16, CHUNK) f32 plane rows of the "big" triangles
     num_big: Any  # () int32
 
 
@@ -77,12 +79,20 @@ def _tile_counts(width: int, height: int, tile_h: int, tile_w: int):
 
 
 def _pack_planes(setup: TriangleSetup, tri_ids, valid=None):
-    """Gather + convert triangles to plane-coefficient rows -> (16, K) f32."""
-    sx = setup.sx[tri_ids]  # (K, 3)
-    sy = setup.sy[tri_ids]
-    z = setup.z[tri_ids]
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+    """Gather + convert triangles to plane-coefficient rows -> (16, K) f32.
+
+    All gathers are flat 1-D (per column): XLA TPU lowers (T, 3)[ids] row gathers
+    ~300x slower than 1-D gathers (measured 76 ms vs 9 x 0.3 ms at 2M entries)."""
+    x0 = setup.sx[:, 0][tri_ids]
+    x1 = setup.sx[:, 1][tri_ids]
+    x2 = setup.sx[:, 2][tri_ids]
+    y0 = setup.sy[:, 0][tri_ids]
+    y1 = setup.sy[:, 1][tri_ids]
+    y2 = setup.sy[:, 2][tri_ids]
+    z = jnp.stack(
+        [setup.z[:, 0][tri_ids], setup.z[:, 1][tri_ids], setup.z[:, 2][tri_ids]],
+        axis=1,
+    )
     area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
 
@@ -129,8 +139,8 @@ def bin_triangles(
     height: int,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
-    expand_cap: int = 32,
-    big_cap: int = 256,
+    expand_cap: int = 16,
+    big_cap: int = CHUNK,
     cull_backface: bool = True,
     exclude_mask=None,
 ) -> Bins:
@@ -203,7 +213,7 @@ def bin_triangles(
         )
     else:
         offsets_pad, counts_pad = offsets, counts
-    d_total = ((e_total + CHUNK - 1) // CHUNK) * CHUNK + ntiles * CHUNK  # static
+    d_total = (((e_total + CHUNK - 1) // CHUNK) + ntiles + GROUP) * CHUNK  # static (+GROUP: group-DMA slack)
     valid_entry = tile_sorted < ntiles
     rank = jnp.arange(e_total, dtype=jnp.int32) - offsets_raw[
         jnp.minimum(tile_sorted, ntiles - 1)
@@ -217,16 +227,27 @@ def bin_triangles(
     dense_valid = jnp.zeros(d_total + 1, bool).at[dest].set(valid_entry)[:-1]
     entry_data = _blocks(_pack_planes(setup, tri_dense, valid=dense_valid))
 
-    # ---- big list ----------------------------------------------------------------
+    # ---- chunk -> tile ownership table (drives the flat stream loop) ------------
+    nblocks = d_total // CHUNK
+    block_starts = jnp.arange(nblocks, dtype=jnp.int32) * CHUNK
+    chunk_tile = (
+        jnp.searchsorted(offsets_pad, block_starts, side="right").astype(jnp.int32)
+        - 1
+    )
+    chunk_tile = jnp.clip(chunk_tile, 0, ntiles_pad - 1)
+
+    # ---- big list: one VMEM-resident plane block tested by every tile ----------
     (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=0)
-    big_valid = jnp.arange(big_cap) < jnp.sum(big.astype(jnp.int32))
     num_big = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
-    big_data = _blocks(_pack_planes(setup, big_idx.astype(jnp.int32), valid=big_valid))
+    big_ids = jnp.pad(big_idx.astype(jnp.int32), (0, CHUNK - big_cap))
+    big_valid = jnp.arange(CHUNK) < num_big
+    big_data = _pack_planes(setup, big_ids, valid=big_valid)
 
     return Bins(
         entry_data=entry_data,
         offsets=offsets_pad,
         counts=counts_pad,
+        chunk_tile=chunk_tile,
         big_data=big_data,
         num_big=num_big,
     )
@@ -236,53 +257,68 @@ def _raster_kernel(
     # scalar prefetch
     offsets_ref,  # (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
     counts_ref,  # (ntiles_pad,) SMEM (true entry counts)
-    num_big_ref,  # (1,) SMEM
+    ctile_ref,  # (nblocks,) SMEM (owning tile per block)
+    nbig_ref,  # (1,) SMEM (number of valid big triangles)
     # inputs
     entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
-    big_ref,  # (nbig_blocks, 16, CHUNK) VMEM resident
+    big_ref,  # (16, CHUNK) VMEM: plane rows of the <=128 "big" triangles
     # outputs ((npx, TILES_PER_PROG) block: one column per tile of this program)
-    depth_out,  # (npx, TILES_PER_PROG) f32
-    tri_out,  # int32
+    depth_out,
+    tri_out,
     b1_out,
     b2_out,
     # scratch
-    chunk_vmem,  # (2, 16, CHUNK) DMA landing buffers
+    chunk_vmem,  # (2, GROUP, 16, CHUNK) DMA landing buffers
     sem,  # DMA semaphores (2,)
     *,
     tile_h: int,
     tile_w: int,
     ntx: int,
+    ntiles: int,
 ):
-    """Orientation: PIXELS on sublanes, TRIANGLES on lanes -- plane data arrives
-    as (16, CHUNK) rows and is consumed directly as (1, CHUNK) broadcasts, so the
-    kernel contains no transposes/relayouts at all (the earlier pixels-on-lanes
-    variant spent ~10x the math cost in per-chunk (16,128)->(128,16) relayouts)."""
-    prog = pl.program_id(0)
+    """Flat-stream formulation: one fori_loop over this program's entry BLOCKS
+    (not per-tile loops -- per-tile setup cost dominated the previous design).
+    Each block knows its owning tile via ctile_ref; per block: DMA wait/start,
+    (npx, CHUNK) broadcast-FMA coverage/depth, winner reduction, and a masked merge
+    into the owning tile's output column.  "Big" triangles (screen span beyond the
+    binning cap -- walls/floors, <= CHUNK of them) live in one VMEM-resident block
+    tested once per tile after the stream.  Pixels on sublanes, triangles on lanes:
+    zero relayouts."""
+    j = pl.program_id(0)
     npx = tile_h * tile_w
     flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     colid = jax.lax.broadcasted_iota(jnp.int32, (1, TILES_PER_PROG), 1)
 
-    nb = num_big_ref[0]
-    nb_chunks = (nb + CHUNK - 1) // CHUNK
+    blk0 = offsets_ref[j * TILES_PER_PROG] // CHUNK
+    blk1 = offsets_ref[(j + 1) * TILES_PER_PROG] // CHUNK
+    nblk = blk1 - blk0
+    ngroups = (nblk + GROUP - 1) // GROUP
 
-    def lane_max(x):
-        """All-lanes max via a log2 roll tree (Mosaic lowers jnp.max(axis=1) far
-        less efficiently); returns (npx, CHUNK) with the max replicated."""
-        s = CHUNK >> 1
-        while s >= 1:
-            x = jnp.maximum(x, pltpu.roll(x, s, 1))
-            s >>= 1
-        return x
+    def tile_coords(tile):
+        tile_y = tile // ntx
+        tile_x = tile % ntx
+        pxg = (
+            (flat % tile_w).astype(jnp.float32)
+            + tile_x.astype(jnp.float32) * tile_w + 0.5
+        )
+        pyg = (
+            (flat // tile_w).astype(jnp.float32)
+            + tile_y.astype(jnp.float32) * tile_h + 0.5
+        )
+        return pxg, pyg
 
-    def chunk_update(planes, n_valid, carry, pxg, pyg):
-        """planes: (16, CHUNK) VMEM value; pxg/pyg: (npx, 1) pixel coords.
-        lam_k = A_k * px + B_k * py + C_k as (npx, CHUNK) broadcast FMAs; winner
-        reduction over the triangle (lane) axis."""
-        best_z, best_t, best_1, best_2 = carry
+    def tile_update(planes, col, n_valid, pxg, pyg, blocks):
+        """Depth-test `planes` (16, CHUNK) against one tile; merge the winner into
+        column `col` of the (npx, TILES_PER_PROG) accumulators."""
+        bz, bt, bb1, bb2 = blocks
 
-        def plane(k):
-            return pxg * planes[k : k + 1] + pyg * planes[k + 1 : k + 2] + planes[k + 2 : k + 3]
+        def plane(kk):
+            return (
+                pxg * planes[kk : kk + 1]
+                + pyg * planes[kk + 1 : kk + 2]
+                + planes[kk + 2 : kk + 3]
+            )
 
         lam0 = plane(0)
         lam1 = plane(3)
@@ -295,89 +331,62 @@ def _raster_kernel(
             & (z >= 0.0) & (z <= 1.0) & (lane < n_valid)
         )
         zm = jnp.where(covered, z, -1.0)
-        zb = lane_max(zm)  # (npx, CHUNK) replicated
+        zb = jnp.max(zm, axis=1, keepdims=True)  # (npx, 1)
         winners = covered & (zm == zb)
-        # unique winner: the largest tri id among equal-depth lanes
         tidw = jnp.where(winners, tid, -1.0)
-        tb = lane_max(tidw)
+        tb = jnp.max(tidw, axis=1, keepdims=True)
         w2 = winners & (tidw == tb)
-        l1b = lane_max(jnp.where(w2, lam1, -jnp.float32(3.4e38)))[:, :1]
-        l2b = lane_max(jnp.where(w2, lam2, -jnp.float32(3.4e38)))[:, :1]
-        zb = zb[:, :1]
-        tb = tb[:, :1]
+        l1b = jnp.max(
+            jnp.where(w2, lam1, -jnp.float32(3.4e38)), axis=1, keepdims=True
+        )
+        l2b = jnp.max(
+            jnp.where(w2, lam2, -jnp.float32(3.4e38)), axis=1, keepdims=True
+        )
 
-        better = (zb > -0.5) & (zb >= best_z)
+        # reverse-Z >= merge: later chunks of the same tile keep improving
+        better = (colid == col) & (zb > -0.5) & (tb >= 0.0) & (zb >= bz)
         return (
-            jnp.where(better, zb, best_z),
-            jnp.where(better, tb, best_t),
-            jnp.where(better, l1b, best_1),
-            jnp.where(better, l2b, best_2),
+            jnp.where(better, zb, bz),
+            jnp.where(better, tb, bt),
+            jnp.where(better, l1b, bb1),
+            jnp.where(better, l2b, bb2),
         )
 
-    # Each grid program rasterizes TILES_PER_PROG consecutive tiles; per-tile
-    # results are (npx, 1) columns merged into the (npx, TILES_PER_PROG) block.
-    def subtile_body(s, blocks):
-        bz, bt, bb1, bb2 = blocks
-        i = prog * TILES_PER_PROG + s
-        tile_y = i // ntx
-        tile_x = i % ntx
-        pxg = (
-            (flat % tile_w).astype(jnp.float32)
-            + tile_x.astype(jnp.float32) * tile_w + 0.5
-        )
-        pyg = (
-            (flat // tile_w).astype(jnp.float32)
-            + tile_y.astype(jnp.float32) * tile_h + 0.5
+    def get_dma(slot, g):
+        # one DMA per GROUP of blocks (small per-block DMAs are latency-bound)
+        return pltpu.make_async_copy(
+            entry_hbm.at[pl.ds(blk0 + g * GROUP, GROUP)],
+            chunk_vmem.at[slot],
+            sem.at[slot],
         )
 
-        carry0 = (
-            jnp.zeros((npx, 1), jnp.float32),
-            jnp.full((npx, 1), -1.0, jnp.float32),
-            jnp.zeros((npx, 1), jnp.float32),
-            jnp.zeros((npx, 1), jnp.float32),
-        )
+    @pl.when(ngroups > 0)
+    def _():
+        get_dma(0, 0).start()
 
-        # ---- binned entries, double-buffered DMA --------------------------------
-        start_block = offsets_ref[i] // CHUNK
-        n = counts_ref[i]
-        n_chunks = (n + CHUNK - 1) // CHUNK
+    def group_body(g, blocks):
+        slot = g % 2
 
-        def get_dma(slot, c):
-            return pltpu.make_async_copy(
-                entry_hbm.at[start_block + c], chunk_vmem.at[slot], sem.at[slot]
-            )
-
-        @pl.when(n_chunks > 0)
+        @pl.when(g + 1 < ngroups)
         def _():
-            get_dma(0, 0).start()
+            get_dma((g + 1) % 2, g + 1).start()
 
-        def chunk_body(c, carry):
-            slot = c % 2
+        get_dma(slot, g).wait()
 
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                get_dma((c + 1) % 2, c + 1).start()
-
-            get_dma(slot, c).wait()
-            return chunk_update(chunk_vmem[slot], n - c * CHUNK, carry, pxg, pyg)
-
-        carry = jax.lax.fori_loop(0, n_chunks, chunk_body, carry0)
-
-        # ---- big triangles (VMEM resident) ---------------------------------------
-        def big_body(c, carry):
-            return chunk_update(big_ref[c], nb - c * CHUNK, carry, pxg, pyg)
-
-        carry = jax.lax.fori_loop(0, nb_chunks, big_body, carry)
-
-        best_z, best_t, best_1, best_2 = carry
-        has = best_t >= 0.0
-        mask = colid == s
-        return (
-            jnp.where(mask, best_z, bz),
-            jnp.where(mask, jnp.where(has, best_t, -1.0), bt),
-            jnp.where(mask, jnp.where(has, best_1, 0.0), bb1),
-            jnp.where(mask, jnp.where(has, best_2, 0.0), bb2),
-        )
+        for gg in range(GROUP):
+            k = g * GROUP + gg
+            b = blk0 + k
+            bc = jnp.minimum(b, blk1 - 1)  # clamp for scalar reads when OOB
+            tile = ctile_ref[bc]
+            col = tile - j * TILES_PER_PROG
+            pxg, pyg = tile_coords(tile)
+            n_valid = jnp.where(
+                k < nblk, counts_ref[tile] + offsets_ref[tile] - bc * CHUNK, 0
+            )
+            blocks = tile_update(
+                chunk_vmem[slot, gg], col, n_valid, pxg, pyg, blocks
+            )
+        return blocks
 
     blocks0 = (
         jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
@@ -385,7 +394,26 @@ def _raster_kernel(
         jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
         jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
     )
-    bz, bt, bb1, bb2 = jax.lax.fori_loop(0, TILES_PER_PROG, subtile_body, blocks0)
+    blocks = jax.lax.fori_loop(0, ngroups, group_body, blocks0)
+
+    # ---- big triangles: one VMEM block tested against every live tile ----------
+    nbig = nbig_ref[0]
+    big_planes = big_ref[...]
+
+    def big_body(s, blocks):
+        tile = j * TILES_PER_PROG + s
+        pxg, pyg = tile_coords(tile)
+        n_valid = jnp.where(tile < ntiles, nbig, 0)
+        return tile_update(big_planes, s, n_valid, pxg, pyg, blocks)
+
+    blocks = jax.lax.cond(
+        nbig > 0,
+        lambda blocks: jax.lax.fori_loop(0, TILES_PER_PROG, big_body, blocks),
+        lambda blocks: blocks,
+        blocks,
+    )
+
+    bz, bt, bb1, bb2 = blocks
     depth_out[...] = bz
     tri_out[...] = bt.astype(jnp.int32)
     b1_out[...] = bb1
@@ -412,11 +440,11 @@ def rasterize_binned(
     npx = tile_h * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(ntiles_pad // TILES_PER_PROG,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # big_data resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # big plane block resident
         ],
         # one column per tile, TILES_PER_PROG columns per program block; untiled
         # to (H, W) below in XLA.
@@ -428,13 +456,13 @@ def rasterize_binned(
         ]
         * 4,
         scratch_shapes=[
-            pltpu.VMEM((2, _NFIELDS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, GROUP, _NFIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx, ntiles=ntiles
     )
     depth, tri_f, b1, b2 = pl.pallas_call(
         kernel,
@@ -452,16 +480,18 @@ def rasterize_binned(
     )(
         bins.offsets,
         bins.counts,
+        bins.chunk_tile,
         jnp.reshape(bins.num_big, (1,)),
         bins.entry_data,
         bins.big_data,
     )
 
     def untile(a):
+        # single 4D transpose (a.T-then-reshape chains compile to slow copies)
         img = (
-            a.T[:ntiles]
-            .reshape(nty, ntx, tile_h, tile_w)
-            .transpose(0, 2, 1, 3)
+            a.reshape(tile_h, tile_w, ntiles_pad)[:, :, :ntiles]
+            .reshape(tile_h, tile_w, nty, ntx)
+            .transpose(2, 0, 3, 1)
             .reshape(nty * tile_h, ntx * tile_w)
         )
         return img[:height, :width]
@@ -470,6 +500,28 @@ def rasterize_binned(
         tri_id=untile(tri_f),
         depth=untile(depth),
         bary=jnp.stack([untile(b1), untile(b2)], axis=-1),
+    )
+
+
+def _subset_brute(setup, idx, valid_count, width, height, chunk, frag_mask_fn=None,
+                  remap=None):
+    """Brute-rasterize a (small, static) triangle subset and remap ids to global."""
+    from vulkanhybridrenderer_tpu.ops import rasterizer as _raster
+
+    sub = TriangleSetup(
+        sx=setup.sx[idx], sy=setup.sy[idx], z=setup.z[idx],
+        inv_w=setup.inv_w[idx],
+        valid=setup.valid[idx]
+        & (jnp.arange(idx.shape[0]) < valid_count if valid_count is not None else True),
+    )
+    vis = _raster.rasterize(
+        sub, width, height, chunk=min(chunk, max(1, idx.shape[0])),
+        frag_mask_fn=frag_mask_fn,
+    )
+    return VisibilityBuffer(
+        tri_id=jnp.where(vis.tri_id >= 0, idx[jnp.maximum(vis.tri_id, 0)], -1),
+        depth=vis.depth,
+        bary=vis.bary,
     )
 
 
@@ -485,13 +537,16 @@ def rasterize_scene(
 ) -> VisibilityBuffer:
     """Full-scene visibility buffer via the binned Pallas kernel.
 
-    Opaque triangles go through binning + the tile kernel; alpha-masked triangles
-    (scene.alpha_tri_idx, a small static subset) are rasterized by the reference
-    path with the per-fragment alpha kill (gbuf.frag:27-32 semantics) and
-    depth-merged on top.  `alpha=False` skips that (the shadow-map depth prepass has
-    an empty fragment shader -- masked geometry casts solid shadows,
-    depth_prepass.frag).  `interpret=None` auto-selects Pallas interpreter mode off
-    TPU so CPU tests exercise the same kernel.
+    Three streams, depth-merged:
+      * small/medium opaque triangles -> binning + the flat-stream tile kernel;
+      * "big" triangles (screen span > expand_cap tiles: near walls/floors, a
+        handful) -> the brute full-screen rasterizer (cheap for few triangles,
+        and they'd otherwise bloat every tile's entry list);
+      * alpha-masked triangles -> brute with the per-fragment alpha kill
+        (gbuf.frag:27-32 semantics; needs atlas taps).
+    `alpha=False` renders masked geometry solid (the shadow-map depth prepass has
+    an empty fragment shader, depth_prepass.frag).  `interpret=None` auto-selects
+    Pallas interpreter mode off TPU so CPU tests exercise the same kernel.
     """
     import jax as _jax
 
@@ -502,21 +557,21 @@ def rasterize_scene(
         interpret = _jax.default_backend() != "tpu"
 
     setup = _raster.triangle_setup(clip, scene.tri_vertex, width, height)
+    use_alpha = scene.has_alpha_mask and alpha
+    tri_masked = (
+        scene.materials.alpha_mask[scene.tri_prim] == 1 if use_alpha else None
+    )
 
-    if scene.has_alpha_mask and alpha:
-        tri_masked = scene.materials.alpha_mask[scene.tri_prim] == 1
-        bins = bin_triangles(
-            setup, width, height, tile_h=tile_h, tile_w=tile_w,
-            exclude_mask=tri_masked,
-        )
-        vis = rasterize_binned(
-            bins, width, height, tile_h=tile_h, tile_w=tile_w, interpret=interpret
-        )
+    bins = bin_triangles(
+        setup, width, height, tile_h=tile_h, tile_w=tile_w,
+        exclude_mask=tri_masked,
+    )
+    vis = rasterize_binned(
+        bins, width, height, tile_h=tile_h, tile_w=tile_w, interpret=interpret
+    )
+
+    if use_alpha:
         idx = scene.alpha_tri_idx
-        sub = TriangleSetup(
-            sx=setup.sx[idx], sy=setup.sy[idx], z=setup.z[idx],
-            inv_w=setup.inv_w[idx], valid=setup.valid[idx],
-        )
         base_mask = _gbuffer.make_alpha_frag_mask(scene, clip)
 
         def local_mask(tri_local, lam, w_inv):
@@ -525,21 +580,12 @@ def rasterize_scene(
         # small chunk: the per-fragment alpha taps materialize (chunk, H, W, 4)
         # intermediates, so keep the scan step tiny at high resolutions
         alpha_chunk = 2 if width * height > 512 * 512 else 8
-        vis_m = _raster.rasterize(
-            sub, width, height, chunk=min(alpha_chunk, max(1, sub.sx.shape[0])),
+        vis_m = _subset_brute(
+            setup, idx, None, width, height, chunk=alpha_chunk,
             frag_mask_fn=local_mask,
         )
-        vis_m = VisibilityBuffer(
-            tri_id=jnp.where(vis_m.tri_id >= 0, idx[jnp.maximum(vis_m.tri_id, 0)], -1),
-            depth=vis_m.depth,
-            bary=vis_m.bary,
-        )
-        return merge_visibility(vis, vis_m)
-
-    bins = bin_triangles(setup, width, height, tile_h=tile_h, tile_w=tile_w)
-    return rasterize_binned(
-        bins, width, height, tile_h=tile_h, tile_w=tile_w, interpret=interpret
-    )
+        vis = merge_visibility(vis, vis_m)
+    return vis
 
 
 def merge_visibility(a: VisibilityBuffer, b: VisibilityBuffer) -> VisibilityBuffer:
