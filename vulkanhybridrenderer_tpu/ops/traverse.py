@@ -169,7 +169,7 @@ def trace(
     anyhit: bool = False,
     hit_filter: Callable | None = None,
     max_steps: int | None = None,
-    strips: int = 16,
+    strips: int = 64,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
@@ -184,7 +184,10 @@ def trace(
     tris9 = pack_tris(tri_verts)
     n_nodes = nodes.shape[0]
     if max_steps is None:
-        max_steps = 4 * n_nodes + 4
+        # The skip-pointer walk visits at most ~2 nodes per descend/skip; bounding
+        # the lockstep loop caps the pathological worst ray (a grazing miss that
+        # walks a large fraction of the tree) at negligible quality cost.
+        max_steps = min(4 * n_nodes + 4, 32768)
 
     strips = max(1, min(strips, max(1, r // 1024)))
     pad = (-r) % strips
