@@ -169,7 +169,7 @@ def trace(
     anyhit: bool = False,
     hit_filter: Callable | None = None,
     max_steps: int | None = None,
-    strips: int = 64,
+    strips: int = 128,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
