@@ -139,3 +139,34 @@ def test_alpha_hit_filter():
     hits_f = np.asarray(rec_f.tri >= 0)
     assert not hits_f[0]  # corner is transparent -> filtered out
     assert hits_f[1]  # center opaque
+
+
+def test_leaf_size_4_matches_leaf_size_1():
+    tris = _random_soup(300, seed=13)
+    b1 = bvh_ops.build(tris, leaf_size=1)
+    b4 = bvh_ops.build(tris, leaf_size=4)
+    bvh_ops.validate_host(b4)
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-12, 12, (64, 3)).astype(np.float32))
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    r1 = traverse.trace(b1, tris, o, d, 0.01, 1e4)
+    r4 = traverse.trace(b4, tris, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(r1.tri), np.asarray(r4.tri))
+    np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r4.t), atol=1e-5)
+    a1 = traverse.trace(b1, tris, o, d, 0.01, 1e4, anyhit=True)
+    a4 = traverse.trace(b4, tris, o, d, 0.01, 1e4, anyhit=True)
+    np.testing.assert_array_equal(np.asarray(a1.tri >= 0), np.asarray(a4.tri >= 0))
+
+
+def test_leaf_size_4_refit():
+    tris = _random_soup(50, seed=21)
+    b = bvh_ops.build(tris, leaf_size=4)
+    moved = tris + jnp.asarray([3.0, 0.0, 0.0])
+    b2 = bvh_ops.refit(b, moved)
+    bvh_ops.validate_host(b2)
+    c = np.asarray(moved[7]).mean(0)
+    o = jnp.asarray((c + np.array([0, 0, 9], np.float32))[None])
+    d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+    rec = traverse.trace(b2, moved, o, d, 0.01, 1e4)
+    assert int(rec.tri[0]) >= 0

@@ -89,12 +89,19 @@ def build_bvh_host(tri_verts):
         raise RuntimeError(f"lbvh_build failed with code {rc}")
     import jax.numpy as jnp
 
+    # convert the C++ builder's leaf triangle ids to order-start-index semantics
+    # (BVH.leaf_tri; for leaf_size == 1 the start index is the sorted position)
+    num_internal = n - 1
+    node_ids = np.arange(total, dtype=np.int32)
+    leaf_start = np.where(leaf_tri >= 0, node_ids - num_internal, -1).astype(np.int32)
+
     return bvh_ops.BVH(
         aabb_min=jnp.asarray(amin),
         aabb_max=jnp.asarray(amax),
         left=jnp.asarray(left),
         right=jnp.asarray(right),
         escape=jnp.asarray(escape),
-        leaf_tri=jnp.asarray(leaf_tri),
+        leaf_tri=jnp.asarray(leaf_start),
         order=jnp.asarray(order),
+        leaf_size=1,
     )

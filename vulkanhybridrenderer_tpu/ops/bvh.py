@@ -34,21 +34,32 @@ INVALID = jnp.int32(-1)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BVH:
-    aabb_min: Any  # (2N-1, 3)
-    aabb_max: Any  # (2N-1, 3)
-    left: Any  # (2N-1,) global node id of left child (-1 for leaves)
-    right: Any  # (2N-1,) global node id of right child (-1 for leaves)
-    escape: Any  # (2N-1,) next node if this subtree is skipped / done (-1 = exit)
-    leaf_tri: Any  # (2N-1,) original triangle index for leaves, -1 for internal
-    order: Any  # (N,) morton-sorted triangle order (leaf k = triangle order[k])
+    """Threaded LBVH over L = ceil(T / leaf_size) leaves.
+
+    leaf_size > 1 groups `leaf_size` morton-consecutive triangles per leaf: the
+    tree has ~leaf_size x fewer nodes, so the lockstep traversal walks far fewer
+    steps at the cost of `leaf_size` triangle tests per leaf visit (a good trade
+    on TPU, where per-step full-wavefront overhead dominates).
+    """
+
+    aabb_min: Any  # (2L-1, 3)
+    aabb_max: Any  # (2L-1, 3)
+    left: Any  # (2L-1,) global node id of left child (-1 for leaves)
+    right: Any  # (2L-1,) global node id of right child (-1 for leaves)
+    escape: Any  # (2L-1,) next node if this subtree is skipped / done (-1 = exit)
+    #: for leaves: start index into `order` (= group * leaf_size); -1 for internal
+    leaf_tri: Any  # (2L-1,)
+    #: (L * leaf_size,) morton-sorted original triangle ids, padded with -1
+    order: Any
+    leaf_size: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def num_leaves(self) -> int:
-        return self.order.shape[0]
+        return self.order.shape[0] // self.leaf_size
 
     @property
     def root(self) -> int:
-        return 0 if self.num_leaves > 1 else self.num_leaves - 1  # N==1 -> leaf 0
+        return 0 if self.num_leaves > 1 else self.num_leaves - 1  # L==1 -> leaf 0
 
 
 def _clz32(x):
@@ -86,22 +97,45 @@ def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
-def build(tri_verts, max_depth: int = 64) -> BVH:
+def _group_leaf_aabbs(tri_verts, order_padded, leaf_size):
+    """Per-leaf AABBs over `leaf_size` morton-consecutive triangles (padding ids
+    of -1 contribute empty boxes)."""
+    lo, hi = triangle_aabbs(tri_verts)
+    safe = jnp.maximum(order_padded, 0)
+    valid = (order_padded >= 0)[:, None]
+    mlo = jnp.where(valid, lo[safe], jnp.inf)
+    mhi = jnp.where(valid, hi[safe], -jnp.inf)
+    l = order_padded.shape[0] // leaf_size
+    return (
+        mlo.reshape(l, leaf_size, 3).min(axis=1),
+        mhi.reshape(l, leaf_size, 3).max(axis=1),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_depth", "leaf_size"))
+def build(tri_verts, max_depth: int = 64, leaf_size: int = 1) -> BVH:
     """Build the LBVH from (T, 3, 3) world-space triangle vertices.
 
     Fully vectorized Karras radix-tree construction; T must be >= 1 and is a static
     shape.  max_depth bounds the bottom-up/top-down propagation sweeps (tree depth
     is bounded by the 30-bit morton + 32-bit index tie-break prefix length).
+    leaf_size groups morton-consecutive triangles per leaf (see BVH docstring).
     """
-    n = tri_verts.shape[0]
-    leaf_lo, leaf_hi = triangle_aabbs(tri_verts)
-    centroids = 0.5 * (leaf_lo + leaf_hi)
-    scene_lo = jnp.min(leaf_lo, axis=0)
-    scene_hi = jnp.max(leaf_hi, axis=0)
-    codes = morton_codes(centroids, scene_lo, scene_hi)
-    order = jnp.argsort(codes).astype(jnp.int32)
-    codes = codes[order]
+    t_count = tri_verts.shape[0]
+    tri_lo, tri_hi = triangle_aabbs(tri_verts)
+    centroids = 0.5 * (tri_lo + tri_hi)
+    scene_lo = jnp.min(tri_lo, axis=0)
+    scene_hi = jnp.max(tri_hi, axis=0)
+    tcodes = morton_codes(centroids, scene_lo, scene_hi)
+    torder = jnp.argsort(tcodes).astype(jnp.int32)
+    tcodes_sorted = tcodes[torder]
+
+    n = (t_count + leaf_size - 1) // leaf_size  # leaves
+    pad = n * leaf_size - t_count
+    order = jnp.concatenate([torder, jnp.full((pad,), -1, jnp.int32)]) if pad else torder
+    # leaf key = morton code of its first member
+    codes = tcodes_sorted[:: leaf_size][:n] if leaf_size > 1 else tcodes_sorted
+    leaf_lo, leaf_hi = _group_leaf_aabbs(tri_verts, order, leaf_size)
 
     if n == 1:
         # Single node tree: the leaf is the root.
@@ -111,8 +145,9 @@ def build(tri_verts, max_depth: int = 64) -> BVH:
             left=jnp.full((1,), -1, jnp.int32),
             right=jnp.full((1,), -1, jnp.int32),
             escape=jnp.full((1,), -1, jnp.int32),
-            leaf_tri=order,
+            leaf_tri=jnp.zeros((1,), jnp.int32),
             order=order,
+            leaf_size=leaf_size,
         )
 
     num_internal = n - 1
@@ -168,7 +203,13 @@ def build(tri_verts, max_depth: int = 64) -> BVH:
     total = 2 * n - 1
     left_g = jnp.concatenate([left, jnp.full((n,), -1, jnp.int32)])
     right_g = jnp.concatenate([right, jnp.full((n,), -1, jnp.int32)])
-    leaf_tri = jnp.concatenate([jnp.full((num_internal,), -1, jnp.int32), order])
+    # leaves store the START index into `order` of their triangle group
+    leaf_tri = jnp.concatenate(
+        [
+            jnp.full((num_internal,), -1, jnp.int32),
+            jnp.arange(n, dtype=jnp.int32) * leaf_size,
+        ]
+    )
 
     # -- escape links: left child escapes to its right sibling; right child
     #    escapes to the parent's escape (propagates one level per sweep) ----------
@@ -182,7 +223,7 @@ def build(tri_verts, max_depth: int = 64) -> BVH:
 
     # -- bottom-up AABB refit ------------------------------------------------------
     aabb_min, aabb_max = _refit_sweeps(
-        left_g, right_g, leaf_lo[order], leaf_hi[order], num_internal, max_depth
+        left_g, right_g, leaf_lo, leaf_hi, num_internal, max_depth
     )
 
     return BVH(
@@ -193,6 +234,7 @@ def build(tri_verts, max_depth: int = 64) -> BVH:
         escape=escape,
         leaf_tri=leaf_tri,
         order=order,
+        leaf_size=leaf_size,
     )
 
 
@@ -223,12 +265,11 @@ def refit(bvh: BVH, tri_verts, max_depth: int = 64) -> BVH:
     per-frame update path for animated scenes (reference UpdateBLAS,
     resource_manager.cpp:593-701, rebuilt each geometry update)."""
     n = bvh.num_leaves
+    leaf_lo, leaf_hi = _group_leaf_aabbs(tri_verts, bvh.order, bvh.leaf_size)
     if n == 1:
-        lo, hi = triangle_aabbs(tri_verts)
-        return dataclasses.replace(bvh, aabb_min=lo, aabb_max=hi)
-    leaf_lo, leaf_hi = triangle_aabbs(tri_verts)
+        return dataclasses.replace(bvh, aabb_min=leaf_lo, aabb_max=leaf_hi)
     amin, amax = _refit_sweeps(
-        bvh.left, bvh.right, leaf_lo[bvh.order], leaf_hi[bvh.order], n - 1, max_depth
+        bvh.left, bvh.right, leaf_lo, leaf_hi, n - 1, max_depth
     )
     return dataclasses.replace(bvh, aabb_min=amin, aabb_max=amax)
 
@@ -249,6 +290,7 @@ def validate_host(bvh: BVH) -> None:
     amin = np.asarray(bvh.aabb_min)
     amax = np.asarray(bvh.aabb_max)
     n = bvh.num_leaves
+    order = np.asarray(bvh.order)
     seen = []
     node = bvh.root
     steps = 0
@@ -256,11 +298,12 @@ def validate_host(bvh: BVH) -> None:
         steps += 1
         assert steps <= 4 * (2 * n - 1) + 4, "threaded traversal does not terminate"
         if leaf_tri[node] >= 0:
-            seen.append(leaf_tri[node])
+            start = leaf_tri[node]
+            seen += [t for t in order[start : start + bvh.leaf_size] if t >= 0]
             node = escape[node]
         else:
             node = left[node]
-    assert sorted(seen) == sorted(np.asarray(bvh.order).tolist())
+    assert sorted(seen) == sorted(t for t in order.tolist() if t >= 0)
     # children contained in parents
     for i in range(max(0, n - 1)):
         for c in (left[i], np.asarray(bvh.right)[i]):

@@ -49,10 +49,11 @@ class HitRecord:
 
 
 def pack_nodes(bvh: BVH):
-    """(2N-1, 8) f32 node rows: [lo.xyz, hi.xyz, next_or_tri, escape].
+    """(2L-1, 8) f32 node rows: [lo.xyz, hi.xyz, next_or_start, escape].
 
-    Internal nodes: next = left child id (>= 0).  Leaves: next = -(tri + 2) (< -1).
-    escape = -1 terminates; ids stay exact as floats (< 2^24)."""
+    Internal nodes: next = left child id (>= 0).  Leaves: next = -(start + 2)
+    (< -1) where start indexes bvh.order's triangle group.  escape = -1
+    terminates; ids stay exact as floats (< 2^24)."""
     is_leaf = bvh.leaf_tri >= 0
     nxt = jnp.where(is_leaf, -(bvh.leaf_tri + 2), bvh.left).astype(jnp.float32)
     esc = bvh.escape.astype(jnp.float32)
@@ -85,8 +86,10 @@ def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
 
 
 def _trace_flat(
-    nodes,  # (2N-1, 8) packed
+    nodes,  # (2L-1, 8) packed
     tris9,  # (T, 9) packed
+    order,  # (L * leaf_size,) triangle ids per leaf group (-1 padding)
+    leaf_size: int,
     root: int,
     origin,
     direction,
@@ -120,26 +123,31 @@ def _trace_flat(
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         box_hit = jnp.maximum(tn, tmin) <= jnp.minimum(tf, t_best)
 
-        # leaf: triangle intersection (single row gather)
-        tri = jnp.where(is_leaf, (-nxt - 2.0).astype(jnp.int32), 0)
-        tv = tris9[tri]  # (R, 9)
-        t, u, v, ok = moller_trumbore(
-            tv[:, 0:3], tv[:, 3:6], tv[:, 6:9], origin, d
-        )
-        ok &= is_leaf & live & (t >= tmin) & (t < t_best)
-        if hit_filter is not None:
-            ok &= hit_filter(tri, u, v, ok)
-
-        t_best = jnp.where(ok, t, t_best)
-        tri_best = jnp.where(ok, tri, tri_best)
-        u_best = jnp.where(ok, u, u_best)
-        v_best = jnp.where(ok, v, v_best)
+        # leaf: test the leaf's triangle group (leaf_size row gathers, one step)
+        start = jnp.where(is_leaf, (-nxt - 2.0).astype(jnp.int32), 0)
+        any_ok = jnp.zeros_like(is_leaf)
+        for jj in range(leaf_size):
+            tri = order[start + jj] if leaf_size > 1 else order[start]
+            tri_ok = tri >= 0
+            tri_s = jnp.maximum(tri, 0)
+            tv = tris9[tri_s]  # (R, 9)
+            t, u, v, ok = moller_trumbore(
+                tv[:, 0:3], tv[:, 3:6], tv[:, 6:9], origin, d
+            )
+            ok &= is_leaf & live & tri_ok & (t >= tmin) & (t < t_best)
+            if hit_filter is not None:
+                ok &= hit_filter(tri_s, u, v, ok)
+            t_best = jnp.where(ok, t, t_best)
+            tri_best = jnp.where(ok, tri_s, tri_best)
+            u_best = jnp.where(ok, u, u_best)
+            v_best = jnp.where(ok, v, v_best)
+            any_ok |= ok
 
         nxt_node = jnp.where(
             is_leaf | ~box_hit, esc, nxt.astype(jnp.int32)
         )
         if anyhit:
-            nxt_node = jnp.where(ok, -1, nxt_node)  # terminate on first hit
+            nxt_node = jnp.where(any_ok, -1, nxt_node)  # terminate on first hit
         node = jnp.where(live, nxt_node, node)
         return node, t_best, tri_best, u_best, v_best, steps + 1
 
@@ -204,7 +212,8 @@ def trace(
     def strip_fn(args):
         o, dd, tn, tx = args
         return _trace_flat(
-            nodes, tris9, bvh.root, o, dd, tn, tx, anyhit, hit_filter, max_steps
+            nodes, tris9, bvh.order, bvh.leaf_size, bvh.root, o, dd, tn, tx,
+            anyhit, hit_filter, max_steps
         )
 
     if strips > 1:

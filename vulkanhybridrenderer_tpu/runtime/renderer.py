@@ -105,7 +105,8 @@ class Renderer:
 
             world = to_world(self.scene.buffers, self.prim_transform)
             tris = bvh_ops.world_triangles(world.position, self.scene.buffers.tri_vertex)
-            self._bvh = bvh_ops.build(tris)
+            # leaf_size=4: ~4x fewer nodes -> ~3x shorter lockstep walks (BVH doc)
+            self._bvh = bvh_ops.build(tris, leaf_size=4)
         return self._bvh
 
     def _resources(self, pfd):
