@@ -105,8 +105,10 @@ class Renderer:
 
             world = to_world(self.scene.buffers, self.prim_transform)
             tris = bvh_ops.world_triangles(world.position, self.scene.buffers.tri_vertex)
-            # leaf_size=4: ~4x fewer nodes -> ~3x shorter lockstep walks (BVH doc)
-            self._bvh = bvh_ops.build(tris, leaf_size=4)
+            # leaf_size=1: measured fastest with the current uniform-step
+            # traversal (larger leaves pay their triangle tests on EVERY lockstep
+            # step, internal ones included -- see docs/PERF_STATUS.md)
+            self._bvh = bvh_ops.build(tris, leaf_size=1)
         return self._bvh
 
     def _resources(self, pfd):
