@@ -67,6 +67,101 @@ def pack_tris(tri_verts):
     return tri_verts.reshape(tri_verts.shape[0], 9)
 
 
+def pack_nodes16(bvh: BVH, tri_verts):
+    """Fused (2L-1, 16) rows for leaf_size == 1 traversal: ONE row gather per step.
+
+    Internal rows: [lo.xyz, hi.xyz, 0*6, left, escape, -1, 0].
+    Leaf rows:     [v0.xyz, v1.xyz, v2.xyz, 0*3, 0, escape, tri_id, 0]
+    (triangle data replaces the AABB -- Moller-Trumbore decides at leaves, so the
+    leaf slab test is redundant).  Column 14 (tri id, -1 for internal) doubles as
+    the leaf flag."""
+    total = bvh.left.shape[0]
+    is_leaf = bvh.leaf_tri >= 0
+    tri = jnp.where(is_leaf, bvh.order[jnp.maximum(bvh.leaf_tri, 0)], 0)
+    tv = tri_verts.reshape(-1, 9)[jnp.maximum(tri, 0)]
+    rows = jnp.zeros((total, 16), jnp.float32)
+    geom = jnp.where(
+        is_leaf[:, None],
+        tv[:, 0:6],
+        jnp.concatenate([bvh.aabb_min, bvh.aabb_max], axis=1),
+    )
+    rows = rows.at[:, 0:6].set(geom)
+    rows = rows.at[:, 6:9].set(jnp.where(is_leaf[:, None], tv[:, 6:9], 0.0))
+    rows = rows.at[:, 12].set(bvh.left.astype(jnp.float32))
+    rows = rows.at[:, 13].set(bvh.escape.astype(jnp.float32))
+    rows = rows.at[:, 14].set(jnp.where(is_leaf, tri, -1).astype(jnp.float32))
+    return rows
+
+
+def _trace_flat16(
+    nodes16,  # (2L-1, 16) fused rows
+    root: int,
+    origin,
+    direction,
+    tmin,
+    tmax,
+    anyhit: bool,
+    hit_filter,
+    max_steps: int,
+):
+    """leaf_size == 1 fast path: one gather per step."""
+    r = origin.shape[0]
+    d = direction
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    inv_d = 1.0 / safe_d
+
+    def cond(state):
+        node, t_best, tri_best, u_best, v_best, steps = state
+        return jnp.any(node >= 0) & (steps < max_steps)
+
+    def body(state):
+        node, t_best, tri_best, u_best, v_best, steps = state
+        live = node >= 0
+        row = nodes16[jnp.maximum(node, 0)]  # (R, 16): the ONLY gather
+        tri = row[:, 14].astype(jnp.int32)
+        is_leaf = tri >= 0
+        esc = row[:, 13].astype(jnp.int32)
+
+        # slab test (garbage-but-masked for leaf rows)
+        t0 = (row[:, 0:3] - origin) * inv_d
+        t1 = (row[:, 3:6] - origin) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        box_hit = jnp.maximum(tn, tmin) <= jnp.minimum(tf, t_best)
+
+        # triangle test (garbage-but-masked for internal rows)
+        t, u, v, ok = moller_trumbore(
+            row[:, 0:3], row[:, 3:6], row[:, 6:9], origin, d
+        )
+        ok &= is_leaf & live & (t >= tmin) & (t < t_best)
+        if hit_filter is not None:
+            ok &= hit_filter(jnp.maximum(tri, 0), u, v, ok)
+
+        t_best = jnp.where(ok, t, t_best)
+        tri_best = jnp.where(ok, tri, tri_best)
+        u_best = jnp.where(ok, u, u_best)
+        v_best = jnp.where(ok, v, v_best)
+
+        nxt_node = jnp.where(
+            is_leaf | ~box_hit, esc, row[:, 12].astype(jnp.int32)
+        )
+        if anyhit:
+            nxt_node = jnp.where(ok, -1, nxt_node)  # terminate on first hit
+        node = jnp.where(live, nxt_node, node)
+        return node, t_best, tri_best, u_best, v_best, steps + 1
+
+    init = (
+        jnp.full((r,), root, jnp.int32),
+        tmax,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.int32(0),
+    )
+    node, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(cond, body, init)
+    return t_best, tri_best, u_best, v_best
+
+
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
     """Batch Möller-Trumbore, no backface culling (Vulkan RT default: the reference
     sets no cull flags).  All args (..., 3); returns (t, u, v, ok)."""
@@ -188,9 +283,14 @@ def trace(
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
-    nodes = pack_nodes(bvh)
-    tris9 = pack_tris(tri_verts)
-    n_nodes = nodes.shape[0]
+    if bvh.leaf_size == 1:
+        nodes16 = pack_nodes16(bvh, tri_verts)
+        nodes = tris9 = None
+        n_nodes = nodes16.shape[0]
+    else:
+        nodes = pack_nodes(bvh)
+        tris9 = pack_tris(tri_verts)
+        n_nodes = nodes.shape[0]
     if max_steps is None:
         # The skip-pointer walk visits at most ~2 nodes per descend/skip; bounding
         # the lockstep loop caps the pathological worst ray (a grazing miss that
@@ -211,6 +311,10 @@ def trace(
 
     def strip_fn(args):
         o, dd, tn, tx = args
+        if bvh.leaf_size == 1:
+            return _trace_flat16(
+                nodes16, bvh.root, o, dd, tn, tx, anyhit, hit_filter, max_steps
+            )
         return _trace_flat(
             nodes, tris9, bvh.order, bvh.leaf_size, bvh.root, o, dd, tn, tx,
             anyhit, hit_filter, max_steps
