@@ -40,9 +40,18 @@ def perspective_weights(bary2, inv_w3):
 
 
 def interpolate(attr_v, vidx, weights):
-    """attr_v: (V, K) vertex attribute; vidx: (..., 3); weights: (..., 3) -> (..., K)."""
-    a = attr_v[vidx]  # (..., 3, K)
-    return jnp.sum(a * weights[..., None], axis=-2)
+    """attr_v: (V, K) vertex attribute; vidx: (..., 3); weights: (..., 3) -> (..., K).
+
+    Gathers one scalar column at a time: XLA TPU lowers (V, K)[idx] row gathers
+    ~300x slower than flat 1-D gathers (see rasterizer_tiled._pack_planes)."""
+    k = attr_v.shape[1]
+    out = None
+    for j in range(3):
+        idx = vidx[..., j]
+        a_j = jnp.stack([attr_v[:, c][idx] for c in range(k)], axis=-1)
+        term = a_j * weights[..., j : j + 1]
+        out = term if out is None else out + term
+    return out
 
 
 def make_alpha_frag_mask(scene: SceneBuffers, clip):
@@ -85,11 +94,17 @@ def resolve_gbuffer(
     h, w = vis.tri_id.shape
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
-    vidx = scene.tri_vertex[tri]  # (H, W, 3)
+    # flat 1-D gathers throughout (row gathers are ~300x slower on TPU)
+    vidx = jnp.stack(
+        [scene.tri_vertex[:, j][tri] for j in range(3)], axis=-1
+    )  # (H, W, 3)
     prim = scene.tri_prim[tri]  # (H, W)
     mats = scene.materials
 
-    inv_w = 1.0 / jnp.maximum(clip[vidx][..., 3], 1e-9)  # (H, W, 3)
+    clip_w = clip[:, 3]
+    inv_w = 1.0 / jnp.maximum(
+        jnp.stack([clip_w[vidx[..., j]] for j in range(3)], axis=-1), 1e-9
+    )  # (H, W, 3)
     wts = perspective_weights(vis.bary, inv_w)
 
     uv = interpolate(scene.uv0, vidx, wts)  # (H, W, 2)
@@ -118,10 +133,11 @@ def resolve_gbuffer(
     )
     n_final_obj = jnp.where(has_nm[..., None], n_mapped, n_obj)
 
-    nm_mat = scene.prim_normal_mat[prim]  # (H, W, 4, 4)
-    n_world = normalize(
-        jnp.einsum("hwij,hwj->hwi", nm_mat[..., :3, :3], n_final_obj)
-    )
+    nmflat = scene.prim_normal_mat.reshape(-1, 16)  # rows: i*4+j
+    nm3 = jnp.stack(
+        [nmflat[:, i * 4 + j][prim] for i in range(3) for j in range(3)], axis=-1
+    ).reshape(h, w, 3, 3)
+    n_world = normalize(jnp.einsum("hwij,hwj->hwi", nm3, n_final_obj))
 
     # ---- motion vectors (gbuf.vert:26, gbuf.frag:43-46) ------------------------
     xx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w

@@ -21,11 +21,14 @@ def resolve_forward_attributes(scene: SceneBuffers, world, clip, vis):
     world position, object-space normal (normal-mapped), uv, albedo, validity."""
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
-    vidx = scene.tri_vertex[tri]
+    vidx = jnp.stack([scene.tri_vertex[:, j][tri] for j in range(3)], axis=-1)
     prim = scene.tri_prim[tri]
     mats = scene.materials
 
-    inv_w = 1.0 / jnp.maximum(clip[vidx][..., 3], 1e-9)
+    clip_w = clip[:, 3]
+    inv_w = 1.0 / jnp.maximum(
+        jnp.stack([clip_w[vidx[..., j]] for j in range(3)], axis=-1), 1e-9
+    )
     wts = gbuf_ops.perspective_weights(vis.bary, inv_w)
     uv = gbuf_ops.interpolate(scene.uv0, vidx, wts)
     n_obj = gbuf_ops.interpolate(scene.normals, vidx, wts)

@@ -351,12 +351,14 @@ def make_alpha_hit_filter(scene):
         prim = scene.tri_prim[tri]
         masked = scene.materials.alpha_mask[prim] == 1
         tex = scene.materials.base_color_texture[prim]
-        vidx = scene.tri_vertex[tri]
-        uv0 = scene.uv0[vidx]  # (R, 3, 2)
         w0 = 1.0 - u - v
-        uv = (
-            uv0[:, 0] * w0[:, None] + uv0[:, 1] * u[:, None] + uv0[:, 2] * v[:, None]
-        )
+        uu0, uu1 = scene.uv0[:, 0], scene.uv0[:, 1]
+
+        def uv_at(j):
+            vj = scene.tri_vertex[:, j][tri]
+            return jnp.stack([uu0[vj], uu1[vj]], axis=-1)
+
+        uv = uv_at(0) * w0[:, None] + uv_at(1) * u[:, None] + uv_at(2) * v[:, None]
         alpha = sample_atlas_bilinear(scene.atlas, tex, uv)[..., 3]
         reject = masked & (tex >= 0) & (alpha < scene.materials.alpha_cutoff[prim])
         return ~reject
