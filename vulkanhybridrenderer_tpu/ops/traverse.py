@@ -103,8 +103,11 @@ def _trace_flat16(
     anyhit: bool,
     hit_filter,
     max_steps: int,
+    init_state=None,
+    return_state: bool = False,
 ):
-    """leaf_size == 1 fast path: one gather per step."""
+    """leaf_size == 1 fast path: one gather per step.  init_state resumes a
+    partially-traced wavefront (node/t/tri/u/v), used by the compaction phases."""
     r = origin.shape[0]
     d = direction
     safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
@@ -150,15 +153,20 @@ def _trace_flat16(
         node = jnp.where(live, nxt_node, node)
         return node, t_best, tri_best, u_best, v_best, steps + 1
 
-    init = (
-        jnp.full((r,), root, jnp.int32),
-        tmax,
-        jnp.full((r,), -1, jnp.int32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.zeros((r,), jnp.float32),
-        jnp.int32(0),
-    )
+    if init_state is None:
+        init = (
+            jnp.full((r,), root, jnp.int32),
+            tmax,
+            jnp.full((r,), -1, jnp.int32),
+            jnp.zeros((r,), jnp.float32),
+            jnp.zeros((r,), jnp.float32),
+            jnp.int32(0),
+        )
+    else:
+        init = init_state + (jnp.int32(0),)
     node, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(cond, body, init)
+    if return_state:
+        return node, t_best, tri_best, u_best, v_best
     return t_best, tri_best, u_best, v_best
 
 
@@ -258,9 +266,53 @@ def _trace_flat(
     return t_best, tri_best, u_best, v_best
 
 
+def _trace16_compacted(
+    nodes16, root, origin, direction, tmin, tmax, anyhit, hit_filter, max_steps,
+    phase1_steps: int = 512, tail_frac: int = 4,
+):
+    """Two-phase traversal with active-ray compaction.
+
+    Phase 1 walks everyone `phase1_steps` lockstep steps; typically only a small
+    tail of rays is still alive (the lockstep loop otherwise pays the worst ray's
+    path for the whole wavefront).  Survivors compact into an R/tail_frac buffer
+    and finish alone.  If more than R/tail_frac rays survive phase 1, the excess
+    keep their phase-1 state (same bounded-effort semantics as the global
+    max_steps cap; in practice survivors are well under capacity).
+    """
+    r = origin.shape[0]
+    node, t_b, tri_b, u_b, v_b = _trace_flat16(
+        nodes16, root, origin, direction, tmin, tmax, anyhit, hit_filter,
+        min(phase1_steps, max_steps), return_state=True,
+    )
+    cap = max(128, r // tail_frac)
+    (alive_idx,) = jnp.nonzero(node >= 0, size=cap, fill_value=0)
+    alive_valid = (
+        jnp.arange(cap) < jnp.sum((node >= 0).astype(jnp.int32))
+    )
+    sub_node = jnp.where(alive_valid, node[alive_idx], -1)
+    sub_state = (
+        sub_node,
+        t_b[alive_idx],
+        tri_b[alive_idx],
+        u_b[alive_idx],
+        v_b[alive_idx],
+    )
+    st, stri, su, sv = _trace_flat16(
+        nodes16, root, origin[alive_idx], direction[alive_idx],
+        tmin[alive_idx], tmax[alive_idx], anyhit, hit_filter,
+        max(0, max_steps - phase1_steps), init_state=sub_state,
+    )
+    upd = alive_valid
+    t_b = t_b.at[alive_idx].set(jnp.where(upd, st, t_b[alive_idx]))
+    tri_b = tri_b.at[alive_idx].set(jnp.where(upd, stri, tri_b[alive_idx]))
+    u_b = u_b.at[alive_idx].set(jnp.where(upd, su, u_b[alive_idx]))
+    v_b = v_b.at[alive_idx].set(jnp.where(upd, sv, v_b[alive_idx]))
+    return t_b, tri_b, u_b, v_b
+
+
 @partial(
     jax.jit,
-    static_argnames=("anyhit", "hit_filter", "max_steps", "strips"),
+    static_argnames=("anyhit", "hit_filter", "max_steps", "strips", "compact"),
 )
 def trace(
     bvh: BVH,
@@ -273,11 +325,13 @@ def trace(
     hit_filter: Callable | None = None,
     max_steps: int | None = None,
     strips: int = 128,
+    compact: bool = False,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
     strips: number of sequential ray slices (see module docstring); rays are
-    padded to a multiple.  hit_filter(tri (R,), u, v, candidate) -> accept mask.
+    padded to a multiple.  compact: two-phase active-ray compaction (leaf_size==1
+    path only).  hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
@@ -312,6 +366,11 @@ def trace(
     def strip_fn(args):
         o, dd, tn, tx = args
         if bvh.leaf_size == 1:
+            if compact:
+                return _trace16_compacted(
+                    nodes16, bvh.root, o, dd, tn, tx, anyhit, hit_filter,
+                    max_steps,
+                )
             return _trace_flat16(
                 nodes16, bvh.root, o, dd, tn, tx, anyhit, hit_filter, max_steps
             )
