@@ -18,11 +18,14 @@ from vulkanhybridrenderer_tpu.core.types import TextureAtlas
 
 
 def _gather_texel(data, iy, ix):
-    """data: (4, AH, AW); iy/ix: (...,) int32 -> (..., 4)."""
+    """data: (4, AH, AW); iy/ix: (...,) int32 -> (..., 4).
+
+    Per-channel flat 1-D gathers: XLA TPU lowers multi-dim operand gathers
+    (flat[:, lin]) orders of magnitude slower than 1-D ones."""
     c, ah, aw = data.shape
     flat = data.reshape(c, ah * aw)
     lin = iy * aw + ix
-    return flat[:, lin.reshape(-1)].T.reshape(lin.shape + (c,))
+    return jnp.stack([flat[k][lin] for k in range(c)], axis=-1)
 
 
 def sample_atlas_bilinear(atlas: TextureAtlas, tex_id, uv, fallback=None):
