@@ -275,8 +275,16 @@ def refit(bvh: BVH, tri_verts, max_depth: int = 64) -> BVH:
 
 
 def world_triangles(world_pos, tri_vertex):
-    """(V, 3) world positions + (T, 3) indices -> (T, 3, 3) triangle vertices."""
-    return world_pos[tri_vertex]
+    """(V, 3) world positions + (T, 3) indices -> (T, 3, 3) triangle vertices.
+
+    Flat 1-D gathers per vertex slot/axis (fast path on TPU)."""
+    cols = [
+        jnp.stack(
+            [world_pos[:, a][tri_vertex[:, s]] for a in range(3)], axis=-1
+        )
+        for s in range(3)
+    ]
+    return jnp.stack(cols, axis=1)
 
 
 def validate_host(bvh: BVH) -> None:

@@ -49,11 +49,28 @@ def to_world(scene: SceneBuffers, prim_transform=None, prim_normal_mat=None) -> 
     m = scene.prim_transform if prim_transform is None else prim_transform
     nm = scene.prim_normal_mat if prim_normal_mat is None else prim_normal_mat
     vprim = vertex_prim_ids(scene)
-    mv = m[vprim]  # (V, 4, 4)
-    nmv = nm[vprim]
-    pos = jnp.einsum("vij,vj->vi", mv[:, :3, :3], scene.positions) + mv[:, :3, 3]
-    nrm = jnp.einsum("vij,vj->vi", nmv[:, :3, :3], scene.normals)
-    tan_xyz = jnp.einsum("vij,vj->vi", mv[:, :3, :3], scene.tangents[:, :3])
+
+    def gather_mat3x4(mat):
+        # per-element flat gathers (row gathers of (P,4,4) are ~300x slower on TPU)
+        flat = mat.reshape(-1, 16)
+        return [
+            [flat[:, i * 4 + j][vprim] for j in range(4)] for i in range(3)
+        ]  # [i][j] -> (V,)
+
+    def apply(rows, p3, translate):
+        x, y, z = p3[:, 0], p3[:, 1], p3[:, 2]
+        out = [
+            rows[i][0] * x + rows[i][1] * y + rows[i][2] * z
+            + (rows[i][3] if translate else 0.0)
+            for i in range(3)
+        ]
+        return jnp.stack(out, axis=-1)
+
+    mv = gather_mat3x4(m)
+    nmv = gather_mat3x4(nm)
+    pos = apply(mv, scene.positions, True)
+    nrm = apply(nmv, scene.normals, False)
+    tan_xyz = apply(mv, scene.tangents[:, :3], False)
     tan = jnp.concatenate([tan_xyz, scene.tangents[:, 3:]], axis=-1)
     return WorldGeometry(
         position=pos, normal=nrm, tangent=tan, vertex_prim=vprim

@@ -154,6 +154,17 @@ class Renderer:
         self.stats.update(timings)
         return timings
 
+    def list_resources(self) -> list[str]:
+        """All named resources the active graph produces (the debug-texture
+        dropdown contents, user_interface.cpp:129-150)."""
+        key = self._key()
+        self._get_frame_fn()
+        graph = self._graphs[key]
+        out: list[str] = []
+        for name in graph.find_execution_order():
+            out.extend(graph.passes[name].outputs)
+        return out
+
     def fetch_resource(self, resource: str):
         """Render one frame and return any named graph resource (jitted -- the
         whole graph compiles; eager graph.run would dispatch op-by-op)."""
