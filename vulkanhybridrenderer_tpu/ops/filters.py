@@ -4,6 +4,17 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def flat_gather(table, idx):
+    """table: (N,) 1-D; idx: any shape -> table[idx].
+
+    XLA TPU's fast gather path needs a 1-D *operand*; multi-dim operands
+    ((T, K)[ids] row gathers) are ~300x slower.  Multi-dim index shapes are fine
+    as-is -- measured: pre-flattening idx with reshapes made the forward frame 2x
+    slower (breaks fusion), so this is a plain gather kept as a naming hook for
+    the 1-D-operand convention."""
+    return table[idx]
+
+
 def gather_2d(img, iy, ix):
     """img: (H, W) or (C, H, W); iy/ix int32 (...,) clamped to bounds.
     Returns (...,) or (..., C)."""

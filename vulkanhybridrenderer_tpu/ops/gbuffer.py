@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from vulkanhybridrenderer_tpu.core.types import GBuffer, PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops.geometry import WorldGeometry
 from vulkanhybridrenderer_tpu.ops.rasterizer import VisibilityBuffer
+from vulkanhybridrenderer_tpu.ops.filters import flat_gather
 from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import normalize, transform_points
 
@@ -48,7 +49,9 @@ def interpolate(attr_v, vidx, weights):
     out = None
     for j in range(3):
         idx = vidx[..., j]
-        a_j = jnp.stack([attr_v[:, c][idx] for c in range(k)], axis=-1)
+        a_j = jnp.stack(
+            [flat_gather(attr_v[:, c], idx) for c in range(k)], axis=-1
+        )
         term = a_j * weights[..., j : j + 1]
         out = term if out is None else out + term
     return out
@@ -96,14 +99,17 @@ def resolve_gbuffer(
     tri = jnp.maximum(vis.tri_id, 0)
     # flat 1-D gathers throughout (row gathers are ~300x slower on TPU)
     vidx = jnp.stack(
-        [scene.tri_vertex[:, j][tri] for j in range(3)], axis=-1
+        [flat_gather(scene.tri_vertex[:, j], tri) for j in range(3)], axis=-1
     )  # (H, W, 3)
-    prim = scene.tri_prim[tri]  # (H, W)
+    prim = flat_gather(scene.tri_prim, tri)  # (H, W)
     mats = scene.materials
 
     clip_w = clip[:, 3]
     inv_w = 1.0 / jnp.maximum(
-        jnp.stack([clip_w[vidx[..., j]] for j in range(3)], axis=-1), 1e-9
+        jnp.stack(
+            [flat_gather(clip_w, vidx[..., j]) for j in range(3)], axis=-1
+        ),
+        1e-9,
     )  # (H, W, 3)
     wts = perspective_weights(vis.bary, inv_w)
 
@@ -113,11 +119,14 @@ def resolve_gbuffer(
     pos_world = interpolate(world.position, vidx, wts)
 
     # ---- albedo (gbuf.frag:19-33) --------------------------------------------
-    base_tex = mats.base_color_texture[prim]
-    albedo = sample_or_factor(scene.atlas, base_tex, uv, mats.base_color[prim])
+    base_tex = flat_gather(mats.base_color_texture, prim)
+    base_col = jnp.stack(
+        [flat_gather(mats.base_color[:, c], prim) for c in range(4)], axis=-1
+    )
+    albedo = sample_or_factor(scene.atlas, base_tex, uv, base_col)
 
     # ---- normal mapping in object space (gbuf.frag:35-41) ---------------------
-    nm_tex = mats.normal_map[prim]
+    nm_tex = flat_gather(mats.normal_map, prim)
     has_nm = nm_tex >= 0
     ts_n = sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
     ts_n = normalize(ts_n)
@@ -135,7 +144,8 @@ def resolve_gbuffer(
 
     nmflat = scene.prim_normal_mat.reshape(-1, 16)  # rows: i*4+j
     nm3 = jnp.stack(
-        [nmflat[:, i * 4 + j][prim] for i in range(3) for j in range(3)], axis=-1
+        [flat_gather(nmflat[:, i * 4 + j], prim) for i in range(3) for j in range(3)],
+        axis=-1,
     ).reshape(h, w, 3, 3)
     n_world = normalize(jnp.einsum("hwij,hwj->hwi", nm3, n_final_obj))
 
@@ -152,10 +162,14 @@ def resolve_gbuffer(
     motion = cur_uv - (prev_ndc * 0.5 + 0.5)
 
     # ---- metallic / roughness (gbuf.frag:48-55; G/B swap kept) -----------------
-    mr_tex = mats.metallic_roughness_texture[prim]
+    mr_tex = flat_gather(mats.metallic_roughness_texture, prim)
     mr = sample_atlas_bilinear(scene.atlas, mr_tex, uv)
-    metallic = mats.metallic_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
-    roughness = mats.roughness_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+    metallic = flat_gather(mats.metallic_factor, prim) * jnp.where(
+        mr_tex >= 0, mr[..., 1], 1.0
+    )
+    roughness = flat_gather(mats.roughness_factor, prim) * jnp.where(
+        mr_tex >= 0, mr[..., 2], 1.0
+    )
 
     # ---- assemble with clear values -------------------------------------------
     v = valid

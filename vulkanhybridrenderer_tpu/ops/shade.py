@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops import gbuffer as gbuf_ops
+from vulkanhybridrenderer_tpu.ops.filters import flat_gather
 from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import PI_INVERSE, normalize
 
@@ -21,13 +22,18 @@ def resolve_forward_attributes(scene: SceneBuffers, world, clip, vis):
     world position, object-space normal (normal-mapped), uv, albedo, validity."""
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
-    vidx = jnp.stack([scene.tri_vertex[:, j][tri] for j in range(3)], axis=-1)
-    prim = scene.tri_prim[tri]
+    vidx = jnp.stack(
+        [flat_gather(scene.tri_vertex[:, j], tri) for j in range(3)], axis=-1
+    )
+    prim = flat_gather(scene.tri_prim, tri)
     mats = scene.materials
 
     clip_w = clip[:, 3]
     inv_w = 1.0 / jnp.maximum(
-        jnp.stack([clip_w[vidx[..., j]] for j in range(3)], axis=-1), 1e-9
+        jnp.stack(
+            [flat_gather(clip_w, vidx[..., j]) for j in range(3)], axis=-1
+        ),
+        1e-9,
     )
     wts = gbuf_ops.perspective_weights(vis.bary, inv_w)
     uv = gbuf_ops.interpolate(scene.uv0, vidx, wts)
@@ -35,11 +41,15 @@ def resolve_forward_attributes(scene: SceneBuffers, world, clip, vis):
     tan_obj = gbuf_ops.interpolate(scene.tangents, vidx, wts)
     pos_world = gbuf_ops.interpolate(world.position, vidx, wts)
 
-    albedo = sample_or_factor(scene.atlas, mats.base_color_texture[prim], uv,
-                              mats.base_color[prim])
+    base_col = jnp.stack(
+        [flat_gather(mats.base_color[:, c], prim) for c in range(4)], axis=-1
+    )
+    albedo = sample_or_factor(
+        scene.atlas, flat_gather(mats.base_color_texture, prim), uv, base_col
+    )
 
     # normal mapping, object space (default.frag:62-69; same formula as gbuf.frag)
-    nm_tex = mats.normal_map[prim]
+    nm_tex = flat_gather(mats.normal_map, prim)
     has_nm = nm_tex >= 0
     ts_n = normalize(sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0)
     bitangent = jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]

@@ -22,10 +22,12 @@ def _gather_texel(data, iy, ix):
 
     Per-channel flat 1-D gathers: XLA TPU lowers multi-dim operand gathers
     (flat[:, lin]) orders of magnitude slower than 1-D ones."""
+    from vulkanhybridrenderer_tpu.ops.filters import flat_gather
+
     c, ah, aw = data.shape
     flat = data.reshape(c, ah * aw)
     lin = iy * aw + ix
-    return jnp.stack([flat[k][lin] for k in range(c)], axis=-1)
+    return jnp.stack([flat_gather(flat[k], lin) for k in range(c)], axis=-1)
 
 
 def sample_atlas_bilinear(atlas: TextureAtlas, tex_id, uv, fallback=None):
@@ -35,9 +37,15 @@ def sample_atlas_bilinear(atlas: TextureAtlas, tex_id, uv, fallback=None):
     multiply).  uv: (..., 2) in texture space (REPEAT wrap, like the default glTF
     sampler the reference uses).  Returns (..., 4) float32.
     """
+    from vulkanhybridrenderer_tpu.ops.filters import flat_gather
+
     safe_id = jnp.maximum(tex_id, 0)
-    scale = atlas.uv_scale[safe_id]  # (..., 2) tile size in texels
-    offset = atlas.uv_offset[safe_id]
+    scale = jnp.stack(
+        [flat_gather(atlas.uv_scale[:, c], safe_id) for c in range(2)], axis=-1
+    )
+    offset = jnp.stack(
+        [flat_gather(atlas.uv_offset[:, c], safe_id) for c in range(2)], axis=-1
+    )
 
     # REPEAT wrap in [0,1), then to continuous texel coords with half-texel center.
     u = uv - jnp.floor(uv)
