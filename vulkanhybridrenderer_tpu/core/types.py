@@ -132,6 +132,16 @@ class SceneBuffers:
     has_alpha_mask: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    #: static: whether any material has a normal map / metallic-roughness texture.
+    #: False lets the resolve passes skip a full bilinear atlas sample per pixel
+    #: (the reference's dynamic `normal_map != -1` branch, gbuf.frag:35-44, is free
+    #: on a GPU but costs ~16M gathers/frame at 1080p on TPU when always taken).
+    has_normal_maps: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
+    has_mr_textures: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
 
     @property
     def num_vertices(self) -> int:

@@ -126,21 +126,28 @@ def resolve_gbuffer(
     albedo = sample_or_factor(scene.atlas, base_tex, uv, base_col)
 
     # ---- normal mapping in object space (gbuf.frag:35-41) ---------------------
-    nm_tex = flat_gather(mats.normal_map, prim)
-    has_nm = nm_tex >= 0
-    ts_n = sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
-    ts_n = normalize(ts_n)
-    bitangent = (
-        jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
-    )  # reference's exact formula (gbuf.frag:36)
-    t_ortho = normalize(
-        tan_obj[..., :3]
-        - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
-    )
-    n_mapped = (
-        t_ortho * ts_n[..., 0:1] + bitangent * ts_n[..., 1:2] + n_obj * ts_n[..., 2:3]
-    )
-    n_final_obj = jnp.where(has_nm[..., None], n_mapped, n_obj)
+    # static skip when NO material has a normal map: saves a full bilinear atlas
+    # sample (16 gathers/pixel) that would be where()-discarded anyway
+    if scene.has_normal_maps:
+        nm_tex = flat_gather(mats.normal_map, prim)
+        has_nm = nm_tex >= 0
+        ts_n = sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
+        ts_n = normalize(ts_n)
+        bitangent = (
+            jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
+        )  # reference's exact formula (gbuf.frag:36)
+        t_ortho = normalize(
+            tan_obj[..., :3]
+            - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
+        )
+        n_mapped = (
+            t_ortho * ts_n[..., 0:1]
+            + bitangent * ts_n[..., 1:2]
+            + n_obj * ts_n[..., 2:3]
+        )
+        n_final_obj = jnp.where(has_nm[..., None], n_mapped, n_obj)
+    else:
+        n_final_obj = n_obj
 
     nmflat = scene.prim_normal_mat.reshape(-1, 16)  # rows: i*4+j
     nm3 = jnp.stack(
@@ -162,14 +169,18 @@ def resolve_gbuffer(
     motion = cur_uv - (prev_ndc * 0.5 + 0.5)
 
     # ---- metallic / roughness (gbuf.frag:48-55; G/B swap kept) -----------------
-    mr_tex = flat_gather(mats.metallic_roughness_texture, prim)
-    mr = sample_atlas_bilinear(scene.atlas, mr_tex, uv)
-    metallic = flat_gather(mats.metallic_factor, prim) * jnp.where(
-        mr_tex >= 0, mr[..., 1], 1.0
-    )
-    roughness = flat_gather(mats.roughness_factor, prim) * jnp.where(
-        mr_tex >= 0, mr[..., 2], 1.0
-    )
+    if scene.has_mr_textures:
+        mr_tex = flat_gather(mats.metallic_roughness_texture, prim)
+        mr = sample_atlas_bilinear(scene.atlas, mr_tex, uv)
+        metallic = flat_gather(mats.metallic_factor, prim) * jnp.where(
+            mr_tex >= 0, mr[..., 1], 1.0
+        )
+        roughness = flat_gather(mats.roughness_factor, prim) * jnp.where(
+            mr_tex >= 0, mr[..., 2], 1.0
+        )
+    else:
+        metallic = flat_gather(mats.metallic_factor, prim)
+        roughness = flat_gather(mats.roughness_factor, prim)
 
     # ---- assemble with clear values -------------------------------------------
     v = valid

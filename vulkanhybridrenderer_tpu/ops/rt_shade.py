@@ -59,10 +59,14 @@ def reflection_hit_shade(scene: SceneBuffers, pfd: PerFrameData, tri, u, v):
     albedo = sample_or_factor(
         scene.atlas, mats.base_color_texture[prim], at["uv"], mats.base_color[prim]
     )[..., :3]
-    mr_tex = mats.metallic_roughness_texture[prim]
-    mr = sample_atlas_bilinear(scene.atlas, mr_tex, at["uv"])
-    metallic = mats.metallic_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
-    roughness = mats.roughness_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+    if scene.has_mr_textures:
+        mr_tex = mats.metallic_roughness_texture[prim]
+        mr = sample_atlas_bilinear(scene.atlas, mr_tex, at["uv"])
+        metallic = mats.metallic_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
+        roughness = mats.roughness_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+    else:
+        metallic = mats.metallic_factor[prim]
+        roughness = mats.roughness_factor[prim]
 
     cam_pos = pfd.camera_position
     v_dir = normalize(cam_pos - at["position"])
@@ -99,17 +103,24 @@ def primary_hit_shade(scene: SceneBuffers, pfd: PerFrameData, tri, u, v, lit,
         scene.atlas, mats.base_color_texture[prim], at["uv"], mats.base_color[prim]
     )[..., :3]
 
-    nm_tex = mats.normal_map[prim]
-    has_nm = nm_tex >= 0
-    ts_n = normalize(sample_atlas_bilinear(scene.atlas, nm_tex, at["uv"])[..., :3] * 2.0 - 1.0)
-    tan = at["tangent"]
     nrm = at["normal"]
-    bitangent = jnp.cross(ts_n, tan[..., :3]) * tan[..., 3:4]
-    t_ortho = normalize(
-        tan[..., :3] - nrm * jnp.sum(tan[..., :3] * nrm, axis=-1, keepdims=True)
-    )
-    n_mapped = t_ortho * ts_n[..., :1] + bitangent * ts_n[..., 1:2] + nrm * ts_n[..., 2:3]
-    n = jnp.where(has_nm[..., None], n_mapped, nrm)
+    if scene.has_normal_maps:
+        nm_tex = mats.normal_map[prim]
+        has_nm = nm_tex >= 0
+        ts_n = normalize(
+            sample_atlas_bilinear(scene.atlas, nm_tex, at["uv"])[..., :3] * 2.0 - 1.0
+        )
+        tan = at["tangent"]
+        bitangent = jnp.cross(ts_n, tan[..., :3]) * tan[..., 3:4]
+        t_ortho = normalize(
+            tan[..., :3] - nrm * jnp.sum(tan[..., :3] * nrm, axis=-1, keepdims=True)
+        )
+        n_mapped = (
+            t_ortho * ts_n[..., :1] + bitangent * ts_n[..., 1:2] + nrm * ts_n[..., 2:3]
+        )
+        n = jnp.where(has_nm[..., None], n_mapped, nrm)
+    else:
+        n = nrm
 
     l = -pfd.directional_light.direction[:3]
     n_dot_l = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)

@@ -48,17 +48,25 @@ def resolve_forward_attributes(scene: SceneBuffers, world, clip, vis):
         scene.atlas, flat_gather(mats.base_color_texture, prim), uv, base_col
     )
 
-    # normal mapping, object space (default.frag:62-69; same formula as gbuf.frag)
-    nm_tex = flat_gather(mats.normal_map, prim)
-    has_nm = nm_tex >= 0
-    ts_n = normalize(sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0)
-    bitangent = jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
-    t_ortho = normalize(
-        tan_obj[..., :3]
-        - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
-    )
-    n_mapped = t_ortho * ts_n[..., 0:1] + bitangent * ts_n[..., 1:2] + n_obj * ts_n[..., 2:3]
-    n = jnp.where(has_nm[..., None], n_mapped, n_obj)
+    # normal mapping, object space (default.frag:62-69; same formula as gbuf.frag);
+    # statically skipped when no material has a normal map (saves an atlas sample)
+    if scene.has_normal_maps:
+        nm_tex = flat_gather(mats.normal_map, prim)
+        has_nm = nm_tex >= 0
+        ts_n = normalize(
+            sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
+        )
+        bitangent = jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
+        t_ortho = normalize(
+            tan_obj[..., :3]
+            - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
+        )
+        n_mapped = (
+            t_ortho * ts_n[..., 0:1] + bitangent * ts_n[..., 1:2] + n_obj * ts_n[..., 2:3]
+        )
+        n = jnp.where(has_nm[..., None], n_mapped, n_obj)
+    else:
+        n = n_obj
     return dict(valid=valid, prim=prim, uv=uv, normal=n, position=pos_world,
                 albedo=albedo)
 

@@ -198,6 +198,10 @@ def build_scene_buffers(
         atlas=build_atlas(images or [], srgb, dtype=atlas_dtype),
         alpha_tri_idx=jnp.asarray(alpha_tri_idx),
         has_alpha_mask=has_alpha,
+        has_normal_maps=bool((np.asarray(ifield("normal_map", -1)) >= 0).any()),
+        has_mr_textures=bool(
+            (np.asarray(ifield("metallic_roughness_texture", -1)) >= 0).any()
+        ),
     )
 
 
