@@ -47,3 +47,49 @@ def test_native_duplicate_codes():
     tris = jnp.tile(one, (32, 1, 1))
     b = native_bridge.build_bvh_host(tris)
     bvh_ops.validate_host(b)
+
+
+@pytest.mark.skipif(not native_bridge.native_available(), reason="no native toolchain")
+def test_sah_build_structure():
+    tris = _soup(257, seed=11)
+    b = native_bridge.build_sah_host(tris)
+    assert b.num_leaves == 257 and b.leaf_size == 1
+    bvh_ops.validate_host(b)  # incl. all 8 octant threadings
+
+
+@pytest.mark.skipif(not native_bridge.native_available(), reason="no native toolchain")
+def test_sah_closest_hit_matches_lbvh():
+    tris = _soup(300, seed=12)
+    b_sah = native_bridge.build_sah_host(tris)
+    b_lbvh = bvh_ops.build(tris)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(rng.uniform(-12, 12, (64, 3)).astype(np.float32))
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rec_sah = traverse.trace(b_sah, tris, o, d, 0.01, 1e4)
+    rec_lbvh = traverse.trace(b_lbvh, tris, o, d, 0.01, 1e4)
+    # same nearest triangle regardless of builder / traversal order
+    np.testing.assert_array_equal(np.asarray(rec_sah.tri), np.asarray(rec_lbvh.tri))
+    np.testing.assert_allclose(np.asarray(rec_sah.t), np.asarray(rec_lbvh.t), atol=1e-4)
+    # anyhit agrees on hit/miss
+    a_sah = traverse.trace(b_sah, tris, o, d, 0.01, 1e4, anyhit=True)
+    np.testing.assert_array_equal(
+        np.asarray(a_sah.tri >= 0), np.asarray(rec_lbvh.tri >= 0)
+    )
+
+
+@pytest.mark.skipif(not native_bridge.native_available(), reason="no native toolchain")
+def test_sah_refit_after_move():
+    tris = np.asarray(_soup(64, seed=13))
+    b = native_bridge.build_sah_host(tris)
+    moved = jnp.asarray(tris + np.array([5.0, 0.0, 0.0], np.float32))
+    b2 = bvh_ops.refit(b, moved)
+    bvh_ops.validate_host(b2)
+    rng = np.random.default_rng(5)
+    o = jnp.asarray(rng.uniform(-12, 12, (32, 3)).astype(np.float32) +
+                    np.array([5, 0, 0], np.float32))
+    d = rng.normal(size=(32, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    rec = traverse.trace(b2, moved, o, d, 0.01, 1e4)
+    rec_ref = traverse.trace(bvh_ops.build(moved), moved, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(rec_ref.tri))

@@ -13,22 +13,37 @@ from vulkanhybridrenderer_tpu.runtime.renderer import Renderer
 from vulkanhybridrenderer_tpu.scene import procedural
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_frame_matches_single_device():
-    sc = procedural.cornell_box()
-    cfg = RenderConfig(
-        width=96, height=64, shadow_map_size=128,
-        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED,
-                              ao_mode=AmbientOcclusionMode.RAYTRACED),
+def _cpu_devices(n=8):
+    """Virtual CPU devices for sharding tests.  Request the cpu platform
+    EXPLICITLY: the session may pin JAX_PLATFORMS to a 1-chip TPU plugin that
+    overrides conftest's env var, but jax.devices('cpu') still honors
+    --xla_force_host_platform_device_count (set in conftest before jax init)."""
+    devs = jax.devices("cpu")
+    assert len(devs) >= n, (
+        f"expected {n} virtual CPU devices, got {len(devs)} — conftest's "
+        "XLA_FLAGS did not take (CPU backend initialized before conftest?)"
     )
-    img_single = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
-    mesh = make_mesh(jax.devices()[:8])
-    img_mesh = np.asarray(Renderer(sc, cfg, path="hybrid", mesh=mesh).render_frame())
+    return devs[:n]
+
+
+def test_sharded_frame_matches_single_device():
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        sc = procedural.cornell_box()
+        cfg = RenderConfig(
+            width=96, height=64, shadow_map_size=128,
+            hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED,
+                                  ao_mode=AmbientOcclusionMode.RAYTRACED),
+        )
+        img_single = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
+        mesh = make_mesh(devs)
+        img_mesh = np.asarray(
+            Renderer(sc, cfg, path="hybrid", mesh=mesh).render_frame()
+        )
     # sharding must not change the result (pure data-parallel + XLA halo exchange)
     np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_graft_dryrun():
     import __graft_entry__ as g
 

@@ -51,6 +51,12 @@ class BVH:
     leaf_tri: Any  # (2L-1,)
     #: (L * leaf_size,) morton-sorted original triangle ids, padded with -1
     order: Any
+    #: (8, 2L-1) per-direction-octant ordered threading: next8[o, i] = first-visited
+    #: child of internal node i for rays in octant o (near child first); esc8[o, i] =
+    #: the node after i's subtree in octant-o order (-1 = exit).  Octant bit
+    #: convention: o = (dx<0)<<2 | (dy<0)<<1 | (dz<0).  See octant_links().
+    next8: Any = None
+    esc8: Any = None
     leaf_size: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
@@ -95,6 +101,49 @@ def triangle_aabbs(tri_verts, pad: float = 1e-6):
 
 def _ceil_log2(n: int) -> int:
     return max(1, (n - 1).bit_length())
+
+
+def _octant_links(left_g, right_g, amin, amax, num_internal, max_depth):
+    """Per-direction-octant ordered threading: (next8, esc8), each (8, total) i32.
+
+    Ordered traversal is the TPU replacement for the GPU's hardware traversal
+    ordering: for internal node i, octant-o rays visit the NEAR child first (the
+    child whose centroid is lower along the node's dominant separation axis when
+    the ray direction is positive along it, the other child otherwise).  Near-
+    child-first makes tmax shortening (closest hit) and terminate-on-first-hit
+    (shadow/AO anyhit, raygen.rgen:31-41) prune most of the tree.  Octant bits:
+    o = (dx<0)<<2 | (dy<0)<<1 | (dz<0).
+    """
+    total = left_g.shape[0]
+    idx = jnp.arange(num_internal, dtype=jnp.int32)
+    li, ri = left_g[:num_internal], right_g[:num_internal]
+    c_l = 0.5 * (amin[li] + amax[li])
+    c_r = 0.5 * (amin[ri] + amax[ri])
+    diff = c_r - c_l  # (n-1, 3)
+    axis = jnp.argmax(jnp.abs(diff), axis=-1)
+    left_is_lower = jnp.take_along_axis(diff, axis[:, None], axis=-1)[:, 0] >= 0
+
+    next_list, esc_list = [], []
+    for o in range(8):
+        pos = jnp.asarray(
+            [(o >> 2) & 1 == 0, (o >> 1) & 1 == 0, (o & 1) == 0]
+        )
+        pos_a = pos[axis]  # direction positive along the split axis?
+        first_is_left = left_is_lower == pos_a
+        first = jnp.where(first_is_left, li, ri)
+        second = jnp.where(first_is_left, ri, li)
+        nxt = jnp.concatenate(
+            [first, jnp.full((total - num_internal,), -1, jnp.int32)]
+        )
+        esc = jnp.full((total,), -1, jnp.int32).at[first].set(second)
+
+        def esc_body(_, e, second=second):
+            return e.at[second].set(e[idx])
+
+        esc = jax.lax.fori_loop(0, max_depth, esc_body, esc)
+        next_list.append(nxt)
+        esc_list.append(esc)
+    return jnp.stack(next_list), jnp.stack(esc_list)
 
 
 def _group_leaf_aabbs(tri_verts, order_padded, leaf_size):
@@ -147,6 +196,8 @@ def build(tri_verts, max_depth: int = 64, leaf_size: int = 1) -> BVH:
             escape=jnp.full((1,), -1, jnp.int32),
             leaf_tri=jnp.zeros((1,), jnp.int32),
             order=order,
+            next8=jnp.full((8, 1), -1, jnp.int32),
+            esc8=jnp.full((8, 1), -1, jnp.int32),
             leaf_size=leaf_size,
         )
 
@@ -226,6 +277,10 @@ def build(tri_verts, max_depth: int = 64, leaf_size: int = 1) -> BVH:
         left_g, right_g, leaf_lo, leaf_hi, num_internal, max_depth
     )
 
+    next8, esc8 = _octant_links(
+        left_g, right_g, aabb_min, aabb_max, num_internal, max_depth
+    )
+
     return BVH(
         aabb_min=aabb_min,
         aabb_max=aabb_max,
@@ -234,6 +289,8 @@ def build(tri_verts, max_depth: int = 64, leaf_size: int = 1) -> BVH:
         escape=escape,
         leaf_tri=leaf_tri,
         order=order,
+        next8=next8,
+        esc8=esc8,
         leaf_size=leaf_size,
     )
 
@@ -257,6 +314,20 @@ def _refit_sweeps(left_g, right_g, leaf_lo_sorted, leaf_hi_sorted, num_internal,
 
     amin, amax = jax.lax.fori_loop(0, max_depth, body, (amin, amax))
     return amin, amax
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def with_octant_links(bvh: BVH, max_depth: int = 64) -> BVH:
+    """Attach per-octant ordered threading to any binary BVH (e.g. one built by
+    the native C++ builder, native_bridge.build_lbvh)."""
+    n = bvh.num_leaves
+    if n == 1:
+        links = jnp.full((8, 1), -1, jnp.int32)
+        return dataclasses.replace(bvh, next8=links, esc8=links)
+    next8, esc8 = _octant_links(
+        bvh.left, bvh.right, bvh.aabb_min, bvh.aabb_max, n - 1, max_depth
+    )
+    return dataclasses.replace(bvh, next8=next8, esc8=esc8)
 
 
 @partial(jax.jit, static_argnames=("max_depth",))
@@ -289,7 +360,8 @@ def world_triangles(world_pos, tri_vertex):
 
 def validate_host(bvh: BVH) -> None:
     """Host-side structural check (testing aid): every leaf reachable exactly once
-    via (left, escape) threading, AABBs contain children."""
+    via (left, escape) threading AND via every octant's ordered (next8, esc8)
+    threading, AABBs contain children."""
     import numpy as np
 
     left = np.asarray(bvh.left)
@@ -299,19 +371,33 @@ def validate_host(bvh: BVH) -> None:
     amax = np.asarray(bvh.aabb_max)
     n = bvh.num_leaves
     order = np.asarray(bvh.order)
-    seen = []
-    node = bvh.root
-    steps = 0
-    while node != -1:
-        steps += 1
-        assert steps <= 4 * (2 * n - 1) + 4, "threaded traversal does not terminate"
-        if leaf_tri[node] >= 0:
-            start = leaf_tri[node]
-            seen += [t for t in order[start : start + bvh.leaf_size] if t >= 0]
-            node = escape[node]
-        else:
-            node = left[node]
-    assert sorted(seen) == sorted(t for t in order.tolist() if t >= 0)
+
+    def walk(nxt, esc):
+        seen = []
+        node = bvh.root
+        steps = 0
+        while node != -1:
+            steps += 1
+            assert steps <= 4 * (2 * n - 1) + 4, (
+                "threaded traversal does not terminate"
+            )
+            if leaf_tri[node] >= 0:
+                start = leaf_tri[node]
+                seen += [t for t in order[start : start + bvh.leaf_size] if t >= 0]
+                node = esc[node]
+            else:
+                node = nxt[node]
+        return seen
+
+    expected = sorted(t for t in order.tolist() if t >= 0)
+    assert sorted(walk(left, escape)) == expected
+    if bvh.next8 is not None:
+        next8 = np.asarray(bvh.next8)
+        esc8 = np.asarray(bvh.esc8)
+        for o in range(8):
+            assert sorted(walk(next8[o], esc8[o])) == expected, (
+                f"octant {o} ordered threading misses leaves"
+            )
     # children contained in parents
     for i in range(max(0, n - 1)):
         for c in (left[i], np.asarray(bvh.right)[i]):

@@ -554,7 +554,13 @@ def rasterize_scene(
     from vulkanhybridrenderer_tpu.ops import rasterizer as _raster
 
     if interpret is None:
-        interpret = _jax.default_backend() != "tpu"
+        # Auto-select interpreter mode off TPU.  Respect an active
+        # jax.default_device(...) override first: the multi-chip dryrun runs the
+        # frame on a VIRTUAL CPU mesh while the session's default backend is still
+        # the real TPU, and Mosaic can only lower for TPU.
+        dev = getattr(_jax.config, "jax_default_device", None)
+        platform = getattr(dev, "platform", None) or _jax.default_backend()
+        interpret = platform != "tpu"
 
     setup = _raster.triangle_setup(clip, scene.tri_vertex, width, height)
     use_alpha = scene.has_alpha_mask and alpha

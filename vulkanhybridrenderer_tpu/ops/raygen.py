@@ -75,7 +75,8 @@ def hybrid_raytrace(
         u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
         d = to_basis(n_flat, uniform_sample_cosine_hemisphere(u2))
         rec = traverse.trace(
-            bvh, tri_verts, origin, d, SHADOW_TMIN, AO_TMAX, anyhit=True
+            bvh, tri_verts, origin, d, SHADOW_TMIN, AO_TMAX, anyhit=True,
+            sort_rays=True,
         )
         ao = ao + jnp.where(rec.hit, 0.0, 1.0)
     ao = (ao / ao_rays).reshape(h, w)
@@ -84,7 +85,9 @@ def hybrid_raytrace(
     cam = pfd.camera_position
     i_dir = normalize(p_world - cam).reshape(-1, 3)
     r_dir = reflect(i_dir, n_flat)
-    rec = traverse.trace(bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX)
+    rec = traverse.trace(
+        bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX, sort_rays=True
+    )
     shaded = rt_shade.reflection_hit_shade(scene, pfd, rec.tri, rec.u, rec.v)
     refl = jnp.where(rec.hit[:, None], shaded, 0.0).reshape(h, w, 4)
 

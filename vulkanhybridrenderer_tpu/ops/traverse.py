@@ -67,14 +67,19 @@ def pack_tris(tri_verts):
     return tri_verts.reshape(tri_verts.shape[0], 9)
 
 
-def pack_nodes16(bvh: BVH, tri_verts):
+def pack_nodes16(bvh: BVH, tri_verts, octants: bool = False):
     """Fused (2L-1, 16) rows for leaf_size == 1 traversal: ONE row gather per step.
 
     Internal rows: [lo.xyz, hi.xyz, 0*6, left, escape, -1, 0].
     Leaf rows:     [v0.xyz, v1.xyz, v2.xyz, 0*3, 0, escape, tri_id, 0]
     (triangle data replaces the AABB -- Moller-Trumbore decides at leaves, so the
     leaf slab test is redundant).  Column 14 (tri id, -1 for internal) doubles as
-    the leaf flag."""
+    the leaf flag.
+
+    octants=True returns (8 * (2L-1), 16) with per-direction-octant ordered links
+    (bvh.next8/esc8) baked into cols 12/13 of each replica, so ORDERED traversal
+    still costs one gather per step (index = octant * total + node).  Trades 8x
+    node memory (64 B/node) for not paying 2 extra link gathers per step."""
     total = bvh.left.shape[0]
     is_leaf = bvh.leaf_tri >= 0
     tri = jnp.where(is_leaf, bvh.order[jnp.maximum(bvh.leaf_tri, 0)], 0)
@@ -87,14 +92,37 @@ def pack_nodes16(bvh: BVH, tri_verts):
     )
     rows = rows.at[:, 0:6].set(geom)
     rows = rows.at[:, 6:9].set(jnp.where(is_leaf[:, None], tv[:, 6:9], 0.0))
+    rows = rows.at[:, 14].set(jnp.where(is_leaf, tri, -1).astype(jnp.float32))
+    if octants:
+        rows = jnp.broadcast_to(rows[None], (8, total, 16))
+        rows = jnp.concatenate(
+            [
+                rows[:, :, 0:12],
+                bvh.next8.astype(jnp.float32)[:, :, None],
+                bvh.esc8.astype(jnp.float32)[:, :, None],
+                rows[:, :, 14:16],
+            ],
+            axis=2,
+        )
+        return rows.reshape(8 * total, 16)
     rows = rows.at[:, 12].set(bvh.left.astype(jnp.float32))
     rows = rows.at[:, 13].set(bvh.escape.astype(jnp.float32))
-    rows = rows.at[:, 14].set(jnp.where(is_leaf, tri, -1).astype(jnp.float32))
     return rows
 
 
+def ray_octants(direction):
+    """Per-ray direction octant, matching bvh._octant_links' bit convention:
+    o = (dx<0)<<2 | (dy<0)<<1 | (dz<0)."""
+    return (
+        ((direction[..., 0] < 0).astype(jnp.int32) << 2)
+        | ((direction[..., 1] < 0).astype(jnp.int32) << 1)
+        | (direction[..., 2] < 0).astype(jnp.int32)
+    )
+
+
 def _trace_flat16(
-    nodes16,  # (2L-1, 16) fused rows
+    nodes16,  # (2L-1, 16) fused rows, or (8*(2L-1), 16) with baked octant links
+    links,  # None | "baked" | (next8 flat (8*total,), esc8 flat (8*total,))
     root: int,
     origin,
     direction,
@@ -106,12 +134,22 @@ def _trace_flat16(
     init_state=None,
     return_state: bool = False,
 ):
-    """leaf_size == 1 fast path: one gather per step.  init_state resumes a
-    partially-traced wavefront (node/t/tri/u/v), used by the compaction phases."""
+    """leaf_size == 1 fast path: one node-row gather per step ("baked" ordered
+    mode gathers from the per-octant replicated table; "flat" tuple mode adds 2
+    flat link gathers).  Ordered modes walk each ray in its direction octant's
+    near-child-first order, so the t_best bound and anyhit early-out prune
+    aggressively.  init_state resumes a partially-traced wavefront
+    (node/t/tri/u/v), used by the compaction phases."""
     r = origin.shape[0]
     d = direction
     safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
     inv_d = 1.0 / safe_d
+    baked = isinstance(links, str) and links == "baked"
+    total = nodes16.shape[0] // 8 if baked else nodes16.shape[0]
+    if baked or isinstance(links, tuple):
+        link_base = ray_octants(d) * total  # (R,)
+    if isinstance(links, tuple):
+        next8f, esc8f = links
 
     def cond(state):
         node, t_best, tri_best, u_best, v_best, steps = state
@@ -120,10 +158,17 @@ def _trace_flat16(
     def body(state):
         node, t_best, tri_best, u_best, v_best, steps = state
         live = node >= 0
-        row = nodes16[jnp.maximum(node, 0)]  # (R, 16): the ONLY gather
+        node_safe = jnp.maximum(node, 0)
+        row = nodes16[link_base + node_safe if baked else node_safe]  # (R, 16)
         tri = row[:, 14].astype(jnp.int32)
         is_leaf = tri >= 0
-        esc = row[:, 13].astype(jnp.int32)
+        if isinstance(links, tuple):
+            li = link_base + node_safe
+            esc = esc8f[li]  # flat 1-D gathers (fast path on TPU)
+            nxt = next8f[li]
+        else:
+            esc = row[:, 13].astype(jnp.int32)
+            nxt = row[:, 12].astype(jnp.int32)
 
         # slab test (garbage-but-masked for leaf rows)
         t0 = (row[:, 0:3] - origin) * inv_d
@@ -145,9 +190,7 @@ def _trace_flat16(
         u_best = jnp.where(ok, u, u_best)
         v_best = jnp.where(ok, v, v_best)
 
-        nxt_node = jnp.where(
-            is_leaf | ~box_hit, esc, row[:, 12].astype(jnp.int32)
-        )
+        nxt_node = jnp.where(is_leaf | ~box_hit, esc, nxt)
         if anyhit:
             nxt_node = jnp.where(ok, -1, nxt_node)  # terminate on first hit
         node = jnp.where(live, nxt_node, node)
@@ -267,8 +310,8 @@ def _trace_flat(
 
 
 def _trace16_compacted(
-    nodes16, root, origin, direction, tmin, tmax, anyhit, hit_filter, max_steps,
-    phase1_steps: int = 512, tail_frac: int = 4,
+    nodes16, links, root, origin, direction, tmin, tmax, anyhit, hit_filter,
+    max_steps, phase1_steps: int = 512, tail_frac: int = 4,
 ):
     """Two-phase traversal with active-ray compaction.
 
@@ -281,7 +324,7 @@ def _trace16_compacted(
     """
     r = origin.shape[0]
     node, t_b, tri_b, u_b, v_b = _trace_flat16(
-        nodes16, root, origin, direction, tmin, tmax, anyhit, hit_filter,
+        nodes16, links, root, origin, direction, tmin, tmax, anyhit, hit_filter,
         min(phase1_steps, max_steps), return_state=True,
     )
     cap = max(128, r // tail_frac)
@@ -298,7 +341,7 @@ def _trace16_compacted(
         v_b[alive_idx],
     )
     st, stri, su, sv = _trace_flat16(
-        nodes16, root, origin[alive_idx], direction[alive_idx],
+        nodes16, links, root, origin[alive_idx], direction[alive_idx],
         tmin[alive_idx], tmax[alive_idx], anyhit, hit_filter,
         max(0, max_steps - phase1_steps), init_state=sub_state,
     )
@@ -312,7 +355,10 @@ def _trace16_compacted(
 
 @partial(
     jax.jit,
-    static_argnames=("anyhit", "hit_filter", "max_steps", "strips", "compact"),
+    static_argnames=(
+        "anyhit", "hit_filter", "max_steps", "strips", "compact", "ordered",
+        "sort_rays",
+    ),
 )
 def trace(
     bvh: BVH,
@@ -326,30 +372,59 @@ def trace(
     max_steps: int | None = None,
     strips: int = 128,
     compact: bool = False,
+    ordered: bool = True,
+    baked_links: bool = True,
+    sort_rays: bool = False,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
     strips: number of sequential ray slices (see module docstring); rays are
     padded to a multiple.  compact: two-phase active-ray compaction (leaf_size==1
-    path only).  hit_filter(tri (R,), u, v, candidate) -> accept mask.
+    path only).  ordered: per-ray direction-octant near-child-first traversal
+    (needs bvh.next8/esc8; leaf_size==1 path).  baked_links: replicate the node
+    table 8x with octant links baked in (one gather/step, 64 B/node extra) vs two
+    extra flat link gathers per step.  sort_rays: stable-sort rays by direction
+    octant before stripping (and unsort after) so each lockstep strip is
+    direction-coherent -- use for incoherent wavefronts (AO, reflections).
+    hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
+    links = None
     if bvh.leaf_size == 1:
-        nodes16 = pack_nodes16(bvh, tri_verts)
         nodes = tris9 = None
-        n_nodes = nodes16.shape[0]
+        n_nodes = bvh.left.shape[0]
+        if ordered and bvh.next8 is not None:
+            # keep the baked table under ~1 GB; huge scenes use flat links
+            if baked_links and n_nodes <= 4_000_000:
+                nodes16 = pack_nodes16(bvh, tri_verts, octants=True)
+                links = "baked"
+            else:
+                nodes16 = pack_nodes16(bvh, tri_verts)
+                links = (bvh.next8.reshape(-1), bvh.esc8.reshape(-1))
+        else:
+            nodes16 = pack_nodes16(bvh, tri_verts)
     else:
         nodes = pack_nodes(bvh)
         tris9 = pack_tris(tri_verts)
         n_nodes = nodes.shape[0]
     if max_steps is None:
-        # The skip-pointer walk visits at most ~2 nodes per descend/skip; bounding
+        # The threaded walk visits at most ~2 nodes per descend/skip; bounding
         # the lockstep loop caps the pathological worst ray (a grazing miss that
         # walks a large fraction of the tree) at negligible quality cost.
         max_steps = min(4 * n_nodes + 4, 32768)
+
+    perm = None
+    if sort_rays:
+        # stable sort: within an octant, rays keep their (already spatially
+        # coherent) image order.  argsort + 1-D index gathers are cheap on TPU.
+        perm = jnp.argsort(ray_octants(direction), stable=True)
+        origin = origin[perm]
+        direction = direction[perm]
+        tmin_a = tmin_a[perm]
+        tmax_a = tmax_a[perm]
 
     strips = max(1, min(strips, max(1, r // 1024)))
     pad = (-r) % strips
@@ -368,11 +443,12 @@ def trace(
         if bvh.leaf_size == 1:
             if compact:
                 return _trace16_compacted(
-                    nodes16, bvh.root, o, dd, tn, tx, anyhit, hit_filter,
-                    max_steps,
+                    nodes16, links, bvh.root, o, dd, tn, tx, anyhit,
+                    hit_filter, max_steps,
                 )
             return _trace_flat16(
-                nodes16, bvh.root, o, dd, tn, tx, anyhit, hit_filter, max_steps
+                nodes16, links, bvh.root, o, dd, tn, tx, anyhit, hit_filter,
+                max_steps
             )
         return _trace_flat(
             nodes, tris9, bvh.order, bvh.leaf_size, bvh.root, o, dd, tn, tx,
@@ -397,6 +473,11 @@ def trace(
         )
         t_best, tri_best = t_best[:r], tri_best[:r]
         u_best, v_best = u_best[:r], v_best[:r]
+
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        t_best, tri_best = t_best[inv], tri_best[inv]
+        u_best, v_best = u_best[inv], v_best[inv]
 
     return HitRecord(t=t_best, tri=tri_best, u=u_best, v=v_best)
 

@@ -100,15 +100,23 @@ class Renderer:
         """Build the scene LBVH once (reference: BLAS/TLAS built at scene load,
         resource_manager.cpp:291-307).  Animated paths refit it in-frame."""
         if self._bvh is None:
+            from vulkanhybridrenderer_tpu import native_bridge
             from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
             from vulkanhybridrenderer_tpu.ops.geometry import to_world
 
             world = to_world(self.scene.buffers, self.prim_transform)
             tris = bvh_ops.world_triangles(world.position, self.scene.buffers.tri_vertex)
-            # leaf_size=1: measured fastest with the current uniform-step
-            # traversal (larger leaves pay their triangle tests on EVERY lockstep
-            # step, internal ones included -- see docs/PERF_STATUS.md)
-            self._bvh = bvh_ops.build(tris, leaf_size=1)
+            # Host binned-SAH build for the load-time tree: much shorter expected
+            # traversal paths than the LBVH (the TPU counterpart of the driver's
+            # PREFER_FAST_TRACE BLAS build, resource_manager.cpp:652).  Animated
+            # paths refit AABBs in-jit every frame (models/passes.py) -- topology
+            # is preserved, so refit works on either builder's tree.
+            # leaf_size=1: measured fastest with the lockstep traversal (larger
+            # leaves pay their triangle tests on EVERY step; docs/PERF_STATUS.md)
+            if native_bridge.native_available():
+                self._bvh = native_bridge.build_sah_host(np.asarray(tris))
+            else:
+                self._bvh = bvh_ops.build(tris, leaf_size=1)
         return self._bvh
 
     def _resources(self, pfd):
