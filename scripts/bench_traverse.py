@@ -10,9 +10,12 @@ async device faults/latency surface on this runtime); min of 3 runs.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench(fn, n=3):
