@@ -88,6 +88,12 @@ def main():
 
         b = native_bridge.build_sah_host(np.asarray(tris))
         print("using native SAH tree", flush=True)
+    if os.environ.get("BVH8", "0") == "1":
+        from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+
+        b = bvh8_ops.build_bvh8_host(b, tris)
+        print(f"using BVH8: {b.num_rows} rows "
+              f"({b.num_rows * 512 / 1e6:.1f} MB), depth {b.depth}", flush=True)
     for name, dkey, kw in cases:
         t = bench(lambda d=dirs[dkey], kw=kw: traverse.trace(
             b, tris, origin, d, 0.01, 1e4, **kw).t)

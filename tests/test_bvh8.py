@@ -1,0 +1,125 @@
+"""BVH8 (ops/bvh8.py) structure + trace8 traversal tests: collapse validity,
+closest/anyhit equivalence vs the binary trace and brute force, refit, alpha
+hit-filter, and XOR-octant ordering correctness across all ray octants."""
+import numpy as np
+import jax.numpy as jnp
+
+from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
+from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+from vulkanhybridrenderer_tpu.ops import traverse
+from vulkanhybridrenderer_tpu.ops.geometry import to_world
+from vulkanhybridrenderer_tpu.scene import procedural
+
+
+def _random_soup(n, seed=0, spread=10.0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (n, 1, 3))
+    tri = base + rng.uniform(-0.5, 0.5, (n, 3, 3))
+    return jnp.asarray(tri.astype(np.float32))
+
+
+def _bvh8(tris):
+    return bvh8_ops.build_bvh8_host(bvh_ops.build(tris, leaf_size=1), tris)
+
+
+def _rand_rays(n, seed, spread=12.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_collapse_structure():
+    for n in (1, 7, 8, 9, 37, 300):
+        tris = _random_soup(n, seed=n)
+        b8 = _bvh8(tris)
+        bvh8_ops.validate_host(b8, tris)
+
+
+def test_closest_matches_binary_all_octants():
+    tris = _random_soup(400, seed=3)
+    b1 = bvh_ops.build(tris, leaf_size=1)
+    b8 = _bvh8(tris)
+    # rays in every direction octant (XOR-ordering correctness depends on octant)
+    o, d = _rand_rays(512, seed=1)
+    assert len(np.unique(np.asarray(traverse.ray_octants(d)))) == 8
+    r1 = traverse.trace(b1, tris, o, d, 0.01, 1e4)
+    r8 = traverse.trace(b8, tris, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(r1.tri), np.asarray(r8.tri))
+    np.testing.assert_allclose(np.asarray(r1.t), np.asarray(r8.t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.u), np.asarray(r8.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1.v), np.asarray(r8.v), atol=1e-4)
+
+
+def test_anyhit_matches_binary_hitset():
+    tris = _random_soup(200, seed=5)
+    b1 = bvh_ops.build(tris, leaf_size=1)
+    b8 = _bvh8(tris)
+    o, d = _rand_rays(256, seed=2)
+    a1 = traverse.trace(b1, tris, o, d, 0.01, 1e4, anyhit=True)
+    a8 = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=True)
+    np.testing.assert_array_equal(
+        np.asarray(a1.tri >= 0), np.asarray(a8.tri >= 0)
+    )
+    # an anyhit t is a real intersection: >= the closest t
+    c8 = traverse.trace(b8, tris, o, d, 0.01, 1e4)
+    m = np.asarray(c8.tri >= 0)
+    assert (np.asarray(a8.t)[m] >= np.asarray(c8.t)[m] - 1e-5).all()
+
+
+def test_single_and_tiny_scenes():
+    for n in (1, 3, 8):
+        tris = _random_soup(n, seed=40 + n)
+        b8 = _bvh8(tris)
+        c = np.asarray(tris[n - 1]).mean(0)
+        o = jnp.asarray((c + np.array([0, 0, 5], np.float32))[None])
+        d = jnp.asarray(np.array([[0.0, 0.0, -1.0]], np.float32))
+        rec = traverse.trace(b8, tris, o, d, 0.01, 100.0)
+        assert int(rec.tri[0]) >= 0
+
+
+def test_refit8():
+    tris = _random_soup(100, seed=7)
+    b8 = _bvh8(tris)
+    moved = tris + jnp.asarray([5.0, 0.0, 0.0])
+    b8m = bvh8_ops.refit8(b8, moved)
+    bvh8_ops.validate_host(b8m, moved)
+    # traversal over the refit tree matches a fresh binary build on moved tris
+    bref = bvh_ops.build(moved, leaf_size=1)
+    o, d = _rand_rays(128, seed=9)
+    r_ref = traverse.trace(bref, moved, o, d, 0.01, 1e4)
+    r_f = traverse.trace(b8m, moved, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(r_ref.tri), np.asarray(r_f.tri))
+    np.testing.assert_allclose(np.asarray(r_ref.t), np.asarray(r_f.t), atol=1e-4)
+
+
+def test_alpha_hit_filter_bvh8():
+    sc = procedural.checker_quad(alpha_leaf=True)
+    world = to_world(sc.buffers)
+    tris = bvh_ops.world_triangles(world.position, sc.buffers.tri_vertex)
+    b8 = _bvh8(tris)
+    filt = traverse.make_alpha_hit_filter(sc.buffers)
+    o = jnp.asarray(np.array([[1.9, 2.0, 1.9], [0.0, 2.0, 0.0]], np.float32))
+    d = jnp.asarray(np.tile([[0.0, -1.0, 0.0]], (2, 1)).astype(np.float32))
+    rec_f = traverse.trace(b8, tris, o, d, 0.01, 10.0, anyhit=True, hit_filter=filt)
+    rec_o = traverse.trace(b8, tris, o, d, 0.01, 10.0, anyhit=True)
+    assert np.asarray(rec_o.tri >= 0).all()
+    hits_f = np.asarray(rec_f.tri >= 0)
+    assert not hits_f[0] and hits_f[1]
+
+
+def test_sah_collapse_cornell_shadows():
+    sc = procedural.cornell_box()
+    world = to_world(sc.buffers)
+    tris = bvh_ops.world_triangles(world.position, sc.buffers.tri_vertex)
+    b8 = _bvh8(tris)
+    bvh8_ops.validate_host(b8, tris)
+    l = -np.asarray(sc.light.direction[:3])
+    p_open = np.array([1.5, 0.01, 1.5], np.float32)
+    p_under = np.asarray(np.array([-0.7, 0.01, -0.6]) - l * 0.5, np.float32)
+    o = jnp.asarray(np.stack([p_open, p_under]))
+    d = jnp.asarray(np.tile(l[None], (2, 1)).astype(np.float32))
+    rec = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=True)
+    hits = np.asarray(rec.tri >= 0)
+    assert not hits[0] and hits[1]

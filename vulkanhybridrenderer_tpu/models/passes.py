@@ -78,7 +78,12 @@ def add_bvh_pass(graph: RenderGraph, animated: bool):
 
     if animated:
         def fn(res):
-            return {"BVH": bvh_ops.refit(res["bvh"], res["WorldTris"])}
+            from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+
+            b = res["bvh"]
+            if isinstance(b, bvh8_ops.BVH8):
+                return {"BVH": bvh8_ops.refit8(b, res["WorldTris"])}
+            return {"BVH": bvh_ops.refit(b, res["WorldTris"])}
 
         graph.add_pass("BVH Refit", fn, inputs=("bvh", "WorldTris"), outputs=("BVH",))
     else:

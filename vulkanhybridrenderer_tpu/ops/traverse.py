@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.ops.bvh import BVH
+from vulkanhybridrenderer_tpu.ops.bvh8 import BVH8
 
 
 @jax.tree_util.register_dataclass
@@ -211,6 +212,176 @@ def _trace_flat16(
     if return_state:
         return node, t_best, tri_best, u_best, v_best
     return t_best, tri_best, u_best, v_best
+
+
+def _trace8(
+    rows,  # (N, 128) BVH8 table (see ops/bvh8.py layout)
+    root: int,
+    depth: int,
+    origin,
+    direction,
+    tmin,
+    tmax,
+    anyhit: bool,
+    hit_filter,
+    max_steps: int,
+):
+    """BVH8 wavefront traversal: ONE (N, 128) row gather per step tests 8 child
+    AABBs (internal rows) or 8 full triangles (leaf rows).
+
+    Per-ray stack = an (R, depth) int32 array updated with lane-mask selects
+    (no per-lane scatters; depth is small and static).  Entries pack
+    ``child_base * 256 + remaining_hit_mask``.  Children are visited in slot
+    order ``k ^ ray_octant`` — slots encode centroid octants at build time, so
+    this is near-child-first (CWBVH-style) at zero per-step gather cost.
+    """
+    r = origin.shape[0]
+    d = direction
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    inv = 1.0 / safe_d
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]  # (R, 1)
+    ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
+    oct_ = ray_octants(d)  # (R,)
+    slots8 = jnp.arange(8, dtype=jnp.int32)  # (8,)
+    lane = jnp.arange(depth, dtype=jnp.int32)  # (D,)
+
+    def first_slot(mask):
+        """First set slot of `mask` in XOR-octant (near-first) order; returns
+        (slot, mask_without_slot).  mask == 0 -> slot arbitrary, remaining 0."""
+        bits = (mask[:, None] >> (slots8[None, :] ^ oct_[:, None])) & 1  # (R, 8)
+        k = jnp.argmax(bits, axis=-1).astype(jnp.int32)
+        slot = k ^ oct_
+        return slot, mask & ~(1 << slot)
+
+    def cond(state):
+        node = state[0]
+        steps = state[-1]
+        return jnp.any(node >= 0) & (steps < max_steps)
+
+    def body(state):
+        node, sp, stack, t_best, tri_best, u_best, v_best, steps = state
+        live = node >= 0
+        row = rows[jnp.maximum(node, 0)]  # (R, 128) — THE gather
+        is_leaf = row[:, 127] > 0.5
+
+        # -- internal: 8-wide slab test ----------------------------------------
+        t0x = (row[:, 0:8] - ox) * ix
+        t1x = (row[:, 24:32] - ox) * ix
+        t0y = (row[:, 8:16] - oy) * iy
+        t1y = (row[:, 32:40] - oy) * iy
+        t0z = (row[:, 16:24] - oz) * iz
+        t1z = (row[:, 40:48] - oz) * iz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit8 = jnp.maximum(tn, tmin[:, None]) <= jnp.minimum(tf, t_best[:, None])
+        mask = jnp.sum(
+            jnp.where(hit8, jnp.int32(1) << slots8[None, :], 0), axis=-1
+        )
+        base = row[:, 48].astype(jnp.int32)
+
+        # -- leaf: 8-wide Möller-Trumbore (same column ranges, slot-major) ------
+        e1x = row[:, 24:32] - row[:, 0:8]
+        e1y = row[:, 32:40] - row[:, 8:16]
+        e1z = row[:, 40:48] - row[:, 16:24]
+        e2x = row[:, 48:56] - row[:, 0:8]
+        e2y = row[:, 56:64] - row[:, 8:16]
+        e2z = row[:, 64:72] - row[:, 16:24]
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        okd = jnp.abs(det) > 1e-9
+        invdet = 1.0 / jnp.where(okd, det, 1.0)
+        tvx = ox - row[:, 0:8]
+        tvy = oy - row[:, 8:16]
+        tvz = oz - row[:, 16:24]
+        u8 = (tvx * px + tvy * py + tvz * pz) * invdet
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v8 = (dx * qx + dy * qy + dz * qz) * invdet
+        t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
+        tri8 = row[:, 72:80].astype(jnp.int32)
+        ok8 = (
+            okd
+            & (u8 >= 0.0)
+            & (v8 >= 0.0)
+            & (u8 + v8 <= 1.0)
+            & (tri8 >= 0)
+            & (t8 >= tmin[:, None])
+            & (t8 < t_best[:, None])
+            & (is_leaf & live)[:, None]
+        )
+        if hit_filter is not None:
+            ok8 &= hit_filter(
+                jnp.maximum(tri8, 0).reshape(-1),
+                u8.reshape(-1),
+                v8.reshape(-1),
+                ok8.reshape(-1),
+            ).reshape(r, 8)
+        t8m = jnp.where(ok8, t8, jnp.inf)
+        sbest = jnp.argmin(t8m, axis=-1)
+        onehot = slots8[None, :] == sbest[:, None]
+        have = jnp.any(ok8, axis=-1)
+        tc = jnp.sum(jnp.where(onehot, t8m, 0.0), axis=-1)
+        upd = have & (tc < t_best)
+        t_best = jnp.where(upd, tc, t_best)
+        tri_best = jnp.where(
+            upd, jnp.sum(jnp.where(onehot, tri8, 0), axis=-1), tri_best
+        )
+        u_best = jnp.where(upd, jnp.sum(jnp.where(onehot, u8, 0.0), axis=-1), u_best)
+        v_best = jnp.where(upd, jnp.sum(jnp.where(onehot, v8, 0.0), axis=-1), v_best)
+
+        # -- next node: descend / pop ------------------------------------------
+        slot, remaining = first_slot(mask)
+        descend = live & ~is_leaf & (mask != 0)
+        child = base + slot
+        push = descend & (remaining != 0)
+        entry = base * 256 + remaining
+        at_sp = lane[None, :] == sp[:, None]
+        stack = jnp.where(at_sp & push[:, None], entry[:, None], stack)
+        sp_desc = sp + push.astype(jnp.int32)
+
+        need_pop = live & (is_leaf | (mask == 0))
+        if anyhit:
+            need_pop &= ~have  # terminate on first accepted hit
+        can_pop = need_pop & (sp > 0)
+        at_top = lane[None, :] == (sp - 1)[:, None]
+        top = jnp.sum(jnp.where(at_top, stack, 0), axis=-1)
+        pmask = top & 255
+        pslot, prem = first_slot(pmask)
+        pchild = (top >> 8) + pslot
+        new_top = (top & ~jnp.int32(255)) | prem
+        stack = jnp.where(at_top & can_pop[:, None], new_top[:, None], stack)
+        sp = jnp.where(
+            can_pop & (prem == 0), sp - 1, jnp.where(descend, sp_desc, sp)
+        )
+
+        node = jnp.where(
+            descend, child, jnp.where(can_pop, pchild, jnp.int32(-1))
+        )
+        node = jnp.where(live, node, -1)
+        return node, sp, stack, t_best, tri_best, u_best, v_best, steps + 1
+
+    init = (
+        jnp.full((r,), root, jnp.int32),
+        jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r, depth), jnp.int32),
+        tmax,
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out[3], out[4], out[5], out[6]
 
 
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
@@ -393,7 +564,10 @@ def trace(
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
     links = None
-    if bvh.leaf_size == 1:
+    wide = isinstance(bvh, BVH8)
+    if wide:
+        n_nodes = bvh.num_rows
+    elif bvh.leaf_size == 1:
         nodes = tris9 = None
         n_nodes = bvh.left.shape[0]
         if ordered and bvh.next8 is not None:
@@ -440,6 +614,11 @@ def trace(
 
     def strip_fn(args):
         o, dd, tn, tx = args
+        if wide:
+            return _trace8(
+                bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
+                hit_filter, max_steps,
+            )
         if bvh.leaf_size == 1:
             if compact:
                 return _trace16_compacted(

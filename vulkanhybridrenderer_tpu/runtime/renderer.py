@@ -106,17 +106,19 @@ class Renderer:
 
             world = to_world(self.scene.buffers, self.prim_transform)
             tris = bvh_ops.world_triangles(world.position, self.scene.buffers.tri_vertex)
-            # Host binned-SAH build for the load-time tree: much shorter expected
-            # traversal paths than the LBVH (the TPU counterpart of the driver's
-            # PREFER_FAST_TRACE BLAS build, resource_manager.cpp:652).  Animated
-            # paths refit AABBs in-jit every frame (models/passes.py) -- topology
-            # is preserved, so refit works on either builder's tree.
-            # leaf_size=1: measured fastest with the lockstep traversal (larger
-            # leaves pay their triangle tests on EVERY step; docs/PERF_STATUS.md)
+            # Host binned-SAH build, collapsed to an 8-wide BVH8: the TPU
+            # counterpart of the driver's PREFER_FAST_TRACE BLAS build
+            # (resource_manager.cpp:652).  The BVH8 packs 8 child boxes /
+            # 8 triangles per 128-float row so traversal is one gather per
+            # step from a VMEM-sized table (see ops/bvh8.py).  Animated paths
+            # refit it in-jit every frame (models/passes.py refit8).
+            from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+
             if native_bridge.native_available():
-                self._bvh = native_bridge.build_sah_host(np.asarray(tris))
+                binary = native_bridge.build_sah_host(np.asarray(tris))
             else:
-                self._bvh = bvh_ops.build(tris, leaf_size=1)
+                binary = bvh_ops.build(tris, leaf_size=1)
+            self._bvh = bvh8_ops.build_bvh8_host(binary, tris)
         return self._bvh
 
     def _resources(self, pfd):
