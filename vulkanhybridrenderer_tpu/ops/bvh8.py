@@ -21,16 +21,22 @@ relative to the parent center at build time, so visiting slots in the order
 
 Row layout ((N, 128) f32, slot-major SoA groups of 8):
   internal: [0:8]=lo.x[slot] [8:16]=lo.y [16:24]=lo.z [24:32]=hi.x [32:40]=hi.y
-            [40:48]=hi.z  [48]=child base row (children live at base+slot;
-            empty slots carry inverted-infinite boxes)  [127]=0
+            [40:48]=hi.z  [48]=first-child row  [49]=offset map (3 bits per
+            slot: rank of the slot among valid slots, so child row =
+            base + (offmap >> 3*slot) & 7 -- children are allocated compactly,
+            empty slots carry inverted-infinite boxes and waste no rows)
+            [127]=0
   leaf:     [0:72] = v0.x[8] v0.y[8] v0.z[8] v1.x[8] ... v2.z[8]
             [72:80] = original triangle ids (-1 = empty slot)  [127]=1
 
 Host collapse (numpy) greedily expands the largest-count binary subtrees of an
-LBVH/SAH binary BVH (ops/bvh.py / native sah.cpp) into 8 roots per node, like
-the PREFER_FAST_TRACE collapse drivers do for RT cores.  refit8() recomputes
-leaf triangles + internal AABBs on-device for animated scenes (the analogue of
-the reference's per-update UpdateBLAS, resource_manager.cpp:593-701).
+LBVH/SAH binary BVH (ops/bvh.py / native sah.cpp) until >= 8 child bins exist,
+bin-packing small sibling subtrees together into full 8-triangle leaves (the
+binary tree fragments into ~4-triangle subtrees otherwise; packed leaves keep
+the row count -- and thus the gather table -- inside the fast VMEM-resident
+regime).  Like the PREFER_FAST_TRACE collapse drivers do for RT cores.
+refit8() recomputes leaf triangles + internal AABBs on-device for animated
+scenes (the analogue of per-update UpdateBLAS, resource_manager.cpp:593-701).
 """
 from __future__ import annotations
 
@@ -49,12 +55,16 @@ LEAF_MAX = 8  # triangles per leaf row
 @dataclasses.dataclass(frozen=True)
 class BVH8:
     rows: Any  # (N, 128) f32 gather table (layout above)
-    #: refit metadata (all (N, ...)): child base row (-1 for leaves), per-slot
-    #: validity, per-slot original triangle ids (-1 invalid / internal)
-    base: Any  # (N,) int32
+    #: refit metadata (all (N, ...)): per-slot child row ids (-1 = empty slot /
+    #: leaf row), per-slot validity, per-slot original triangle ids
+    child8: Any  # (N, 8) int32
     valid8: Any  # (N, 8) bool
     tri8: Any  # (N, 8) int32
     depth: int = dataclasses.field(default=16, metadata=dict(static=True))
+
+    @property
+    def is_leaf_rows(self):
+        return self.rows[:, 127] > 0.5
 
     @property
     def root(self) -> int:
@@ -118,57 +128,101 @@ def build_bvh8_host(bvh, tri_verts) -> BVH8:
     ls = bvh.leaf_size
     count = _subtree_counts(left, right, leaf_tri, order, ls)
 
-    def expand_roots(n):
-        """Greedily split binary subtrees (largest first) into <= 8 roots."""
+    def make_bins(n):
+        """Expand the binary subtree under n into up to 8 child bins.
+
+        A bin is ("node", binary_node) for subtrees that stay internal
+        (count > LEAF_MAX) or ("leaf", [roots], lo, hi) packing one or more
+        small sibling subtrees (<= LEAF_MAX triangles total) into one full
+        leaf row.  Greedy largest-first expansion + first-fit-decreasing
+        packing keeps leaves near-full, which shrinks the row table."""
+
+        def pack(roots):
+            big = [r for r in roots if count[r] > LEAF_MAX]
+            small = sorted(
+                (r for r in roots if count[r] <= LEAF_MAX),
+                key=lambda r: -count[r],
+            )
+            bins = [("node", r) for r in big]
+            packs = []  # [(tris_total, [roots])]
+            for r in small:
+                for p in packs:
+                    if p[0] + count[r] <= LEAF_MAX:
+                        p[0] += count[r]
+                        p[1].append(r)
+                        break
+                else:
+                    packs.append([count[r], [r]])
+            for _, rs in packs:
+                lo = np.min([amin[r] for r in rs], axis=0)
+                hi = np.max([amax[r] for r in rs], axis=0)
+                bins.append(("leaf", rs, lo, hi))
+            return bins
+
         roots = [n]
-        while len(roots) < 8:
-            # expand the largest subtree that is internal and still > LEAF_MAX
-            cand = [r for r in roots if leaf_tri[r] < 0 and count[r] > LEAF_MAX]
-            if not cand:
-                break
-            r = max(cand, key=lambda x: count[x])
+        while True:
+            bins = pack(roots)
+            splittable = [r for r in roots if count[r] > LEAF_MAX]
+            if len(bins) >= 8 or not splittable:
+                return bins
+            r = max(splittable, key=lambda x: count[x])
             roots.remove(r)
             roots.append(int(left[r]))
             roots.append(int(right[r]))
-        return roots
 
-    # BFS over BVH8 nodes.  Each entry: (binary node, assigned row).
-    rows_meta = {}  # row -> ("internal", base, slots{slot: child_row}) | ("leaf", tri_ids)
-    row_aabb = {}
+    def bin_box(b):
+        if b[0] == "node":
+            return amin[b[1]], amax[b[1]]
+        return b[2], b[3]
+
+    # BFS over BVH8 nodes.  rows_meta[row] =
+    #   ("internal", {slot: (child_row, lo, hi)}) | ("leaf", tri_ids)
+    rows_meta = {}
     next_row = [1]  # row 0 = root
-    pending = [(int(bvh.root), 0)]
+    root_bnode = int(bvh.root)
+    if count[root_bnode] <= LEAF_MAX:
+        pending = [(("leaf", [root_bnode], amin[root_bnode], amax[root_bnode]), 0)]
+    else:
+        pending = [(("node", root_bnode), 0)]
     while pending:
-        bnode, row = pending.pop()
-        row_aabb[row] = (amin[bnode], amax[bnode])
-        if count[bnode] <= LEAF_MAX:
-            ids = _collect_tris(bnode, left, right, leaf_tri, order, ls)
+        b, row = pending.pop()
+        if b[0] == "leaf":
+            ids = []
+            for r in b[1]:
+                ids.extend(_collect_tris(r, left, right, leaf_tri, order, ls))
             rows_meta[row] = ("leaf", ids)
             continue
-        roots = expand_roots(bnode)
-        base = next_row[0]
-        next_row[0] += 8
+        bnode = b[1]
+        bins = make_bins(bnode)
         # slot by centroid octant relative to parent center (XOR-octant order)
         center = 0.5 * (amin[bnode] + amax[bnode])
-        taken = {}
-        for r in roots:
-            c = 0.5 * (amin[r] + amax[r])
+        slotted = {}
+        for child_bin in bins:
+            lo, hi = bin_box(child_bin)
+            c = 0.5 * (lo + hi)
             want = (
                 (4 if c[0] >= center[0] else 0)
                 | (2 if c[1] >= center[1] else 0)
                 | (1 if c[2] >= center[2] else 0)
             )
-            slot = want
             for probe in range(8):
                 slot = (want + probe) % 8
-                if slot not in taken:
+                if slot not in slotted:
                     break
-            taken[slot] = r
-            pending.append((int(r), base + slot))
-        rows_meta[row] = ("internal", base, taken)
+            slotted[slot] = child_bin
+        # compact child allocation: rows in slot order, no gaps
+        taken = {}
+        for slot in sorted(slotted):
+            child_row = next_row[0]
+            next_row[0] += 1
+            lo, hi = bin_box(slotted[slot])
+            taken[slot] = (child_row, lo, hi)
+            pending.append((slotted[slot], child_row))
+        rows_meta[row] = ("internal", taken)
 
     n_rows = next_row[0]
     rows = np.zeros((n_rows, 128), np.float32)
-    base_arr = np.full(n_rows, -1, np.int32)
+    child8 = np.full((n_rows, 8), -1, np.int32)
     valid8 = np.zeros((n_rows, 8), bool)
     tri8 = np.full((n_rows, 8), -1, np.int32)
     for row, meta in rows_meta.items():
@@ -183,18 +237,22 @@ def build_bvh8_host(bvh, tri_verts) -> BVH8:
                         rows[row, (corner * 3 + axis) * 8 + s] = v[corner, axis]
             rows[row, 72:80] = tri8[row]
         else:
-            _, base, taken = meta
-            base_arr[row] = base
-            rows[row, 48] = float(base)
+            taken = meta[1]
+            base = min(cr for cr, _, _ in taken.values())
+            offmap = 0
             # empty slots: inverted-infinite boxes (slab test always fails)
             rows[row, 0:24] = 3.0e38
             rows[row, 24:48] = -3.0e38
-            for s, child in taken.items():
+            for s, (child_row, clo, chi) in taken.items():
+                child8[row, s] = child_row
                 valid8[row, s] = True
-                clo, chi = amin[child], amax[child]
+                offmap |= (child_row - base) << (3 * s)
                 for axis in range(3):
                     rows[row, axis * 8 + s] = clo[axis]
                     rows[row, (3 + axis) * 8 + s] = chi[axis]
+            assert offmap < (1 << 24)
+            rows[row, 48] = float(base)
+            rows[row, 49] = float(offmap)
 
     # max stack depth: longest root-to-leaf chain of internal rows
     depth = 1
@@ -204,11 +262,11 @@ def build_bvh8_host(bvh, tri_verts) -> BVH8:
         depth = max(depth, d)
         meta = rows_meta[row]
         if meta[0] == "internal":
-            for s in meta[2]:
-                stack.append((meta[1] + s, d + 1))
+            for cr, _, _ in meta[1].values():
+                stack.append((cr, d + 1))
     return BVH8(
         rows=jnp.asarray(rows),
-        base=jnp.asarray(base_arr),
+        child8=jnp.asarray(child8),
         valid8=jnp.asarray(valid8),
         tri8=jnp.asarray(tri8),
         depth=int(depth) + 2,
@@ -221,7 +279,7 @@ def refit8(b: BVH8, tri_verts, sweeps: int = 24) -> BVH8:
     the topology — the per-frame update for animated scenes (reference
     UpdateBLAS, resource_manager.cpp:593-701)."""
     n = b.num_rows
-    is_leaf = b.base < 0
+    is_leaf = b.rows[:, 127] > 0.5
     safe_tri = jnp.maximum(b.tri8, 0)  # (N, 8)
     tvalid = b.tri8 >= 0
 
@@ -256,7 +314,7 @@ def refit8(b: BVH8, tri_verts, sweeps: int = 24) -> BVH8:
 
     amin = jnp.where(is_leaf[:, None], leaf_lo, big)
     amax = jnp.where(is_leaf[:, None], leaf_hi, -big)
-    child = jnp.maximum(b.base, 0)[:, None] + jnp.arange(8, dtype=jnp.int32)
+    child = jnp.maximum(b.child8, 0)  # (N, 8)
 
     def sweep(_, boxes):
         amin, amax = boxes
@@ -304,20 +362,22 @@ def validate_host(b: BVH8, tri_verts) -> None:
     leaf slot, child boxes are contained in parents, leaf rows carry their
     triangles' coordinates, stack depth bound holds."""
     rows = np.asarray(b.rows)
-    base = np.asarray(b.base)
+    child8 = np.asarray(b.child8)
     valid8 = np.asarray(b.valid8)
     tri8 = np.asarray(b.tri8)
     tris = np.asarray(tri_verts)
-    n = rows.shape[0]
 
     seen = []
     depth_max = 0
+    visited = set()
     stack = [(0, 1)]
     while stack:
         row, d = stack.pop()
+        assert row not in visited, "row reachable twice"
+        visited.add(row)
         depth_max = max(depth_max, d)
-        if base[row] < 0:  # leaf
-            assert rows[row, 127] == 1.0
+        if rows[row, 127] == 1.0:  # leaf
+            assert (child8[row] == -1).all() and not valid8[row].any()
             for s in range(8):
                 t = tri8[row, s]
                 if t < 0:
@@ -330,15 +390,17 @@ def validate_host(b: BVH8, tri_verts) -> None:
                             == np.float32(tris[t, corner, axis])
                         )
         else:
-            assert rows[row, 127] == 0.0
-            assert rows[row, 48] == base[row]
+            base = int(rows[row, 48])
+            offmap = int(rows[row, 49])
             for s in range(8):
                 if not valid8[row, s]:
                     # empty slot: inverted-infinite box, never intersected
                     assert rows[row, s] > rows[row, 24 + s]
+                    assert child8[row, s] == -1
                     continue
-                # child box contained in the slot box recorded at the parent
-                child = int(base[row]) + s
+                child = base + ((offmap >> (3 * s)) & 7)
+                assert child == child8[row, s], "offmap/child8 mismatch"
                 stack.append((child, d + 1))
     assert sorted(seen) == list(range(tris.shape[0])), "triangle coverage"
+    assert len(visited) == rows.shape[0], "unreachable rows (wasted table)"
     assert depth_max <= b.depth, f"depth {depth_max} > bound {b.depth}"

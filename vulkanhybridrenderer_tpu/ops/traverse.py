@@ -229,11 +229,13 @@ def _trace8(
     """BVH8 wavefront traversal: ONE (N, 128) row gather per step tests 8 child
     AABBs (internal rows) or 8 full triangles (leaf rows).
 
-    Per-ray stack = an (R, depth) int32 array updated with lane-mask selects
-    (no per-lane scatters; depth is small and static).  Entries pack
-    ``child_base * 256 + remaining_hit_mask``.  Children are visited in slot
-    order ``k ^ ray_octant`` — slots encode centroid octants at build time, so
-    this is near-child-first (CWBVH-style) at zero per-step gather cost.
+    Per-ray stack = two (R, depth) int32 arrays updated with lane-mask selects
+    (no per-lane scatters; depth is small and static).  Entry A packs
+    ``child_base * 256 + remaining_hit_mask``; entry B carries the node's
+    3-bit-per-slot child offset map (children are allocated compactly, so
+    child row = base + offmap[slot]).  Children are visited in slot order
+    ``k ^ ray_octant`` — slots encode centroid octants at build time, so this
+    is near-child-first (CWBVH-style) at zero per-step gather cost.
     """
     r = origin.shape[0]
     d = direction
@@ -259,7 +261,7 @@ def _trace8(
         return jnp.any(node >= 0) & (steps < max_steps)
 
     def body(state):
-        node, sp, stack, t_best, tri_best, u_best, v_best, steps = state
+        node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps = state
         live = node >= 0
         row = rows[jnp.maximum(node, 0)]  # (R, 128) — THE gather
         is_leaf = row[:, 127] > 0.5
@@ -284,6 +286,7 @@ def _trace8(
             jnp.where(hit8, jnp.int32(1) << slots8[None, :], 0), axis=-1
         )
         base = row[:, 48].astype(jnp.int32)
+        offmap = row[:, 49].astype(jnp.int32)
 
         # -- leaf: 8-wide Möller-Trumbore (same column ranges, slot-major) ------
         e1x = row[:, 24:32] - row[:, 0:8]
@@ -342,11 +345,13 @@ def _trace8(
         # -- next node: descend / pop ------------------------------------------
         slot, remaining = first_slot(mask)
         descend = live & ~is_leaf & (mask != 0)
-        child = base + slot
+        child = base + ((offmap >> (3 * slot)) & 7)
         push = descend & (remaining != 0)
         entry = base * 256 + remaining
         at_sp = lane[None, :] == sp[:, None]
-        stack = jnp.where(at_sp & push[:, None], entry[:, None], stack)
+        pushm = (at_sp & push[:, None])
+        stack = jnp.where(pushm, entry[:, None], stack)
+        stack_b = jnp.where(pushm, offmap[:, None], stack_b)
         sp_desc = sp + push.astype(jnp.int32)
 
         need_pop = live & (is_leaf | (mask == 0))
@@ -355,9 +360,10 @@ def _trace8(
         can_pop = need_pop & (sp > 0)
         at_top = lane[None, :] == (sp - 1)[:, None]
         top = jnp.sum(jnp.where(at_top, stack, 0), axis=-1)
+        top_off = jnp.sum(jnp.where(at_top, stack_b, 0), axis=-1)
         pmask = top & 255
         pslot, prem = first_slot(pmask)
-        pchild = (top >> 8) + pslot
+        pchild = (top >> 8) + ((top_off >> (3 * pslot)) & 7)
         new_top = (top & ~jnp.int32(255)) | prem
         stack = jnp.where(at_top & can_pop[:, None], new_top[:, None], stack)
         sp = jnp.where(
@@ -368,11 +374,12 @@ def _trace8(
             descend, child, jnp.where(can_pop, pchild, jnp.int32(-1))
         )
         node = jnp.where(live, node, -1)
-        return node, sp, stack, t_best, tri_best, u_best, v_best, steps + 1
+        return node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps + 1
 
     init = (
         jnp.full((r,), root, jnp.int32),
         jnp.zeros((r,), jnp.int32),
+        jnp.zeros((r, depth), jnp.int32),
         jnp.zeros((r, depth), jnp.int32),
         tmax,
         jnp.full((r,), -1, jnp.int32),
@@ -381,7 +388,7 @@ def _trace8(
         jnp.int32(0),
     )
     out = jax.lax.while_loop(cond, body, init)
-    return out[3], out[4], out[5], out[6]
+    return out[4], out[5], out[6], out[7]
 
 
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
