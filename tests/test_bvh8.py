@@ -123,3 +123,26 @@ def test_sah_collapse_cornell_shadows():
     rec = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=True)
     hits = np.asarray(rec.tri >= 0)
     assert not hits[0] and hits[1]
+
+
+def test_phased_compaction_exact():
+    """compact=True (staged compaction + exact fallback) must match plain trace8
+    bit-for-bit, for both hit kinds, including when survivors overflow the
+    compaction buffers (small R exercises the cap >= r skip path too)."""
+    tris = _random_soup(400, seed=3)
+    b8 = _bvh8(tris)
+    for n_rays, seed in ((4096, 1), (512, 2)):
+        o, d = _rand_rays(n_rays, seed=seed)
+        for anyhit in (False, True):
+            a = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=anyhit,
+                               compact=False)
+            c = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=anyhit,
+                               compact=True)
+            if anyhit:
+                np.testing.assert_array_equal(
+                    np.asarray(a.tri >= 0), np.asarray(c.tri >= 0)
+                )
+            else:
+                np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(c.tri))
+                np.testing.assert_allclose(np.asarray(a.t), np.asarray(c.t),
+                                           atol=1e-5)

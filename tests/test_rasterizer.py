@@ -70,7 +70,11 @@ def test_gbuffer_resolve_cornell():
     w = h = 96
     pfd, world, clip, setup = _setup_scene(sc, w, h)
     vis = rasterizer.rasterize(setup, w, h, chunk=64)
-    gb = gbuffer.resolve_gbuffer(sc.buffers, world, clip, vis, pfd)
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
+    tables = shadetab.build_shade_tables(sc.buffers)
+    tri_rows = shadetab.make_tri_rows(tables, sc.buffers, world.position, clip)
+    gb = gbuffer.resolve_gbuffer(sc.buffers, tables, tri_rows, vis, pfd)
     albedo = np.asarray(gb.albedo)
     noid = np.asarray(gb.normal_oid)
     assert albedo.shape == (4, h, w)

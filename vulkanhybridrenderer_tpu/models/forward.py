@@ -39,7 +39,9 @@ class ForwardRasterPath(RenderPath):
             pfd = res["pfd"]
             clip = res["Clip"]
             vis = rasterize_for_path(scene, clip, w, h, cfg)
-            attrs = shade.resolve_forward_attributes(scene, res["World"], clip, vis)
+            attrs = shade.resolve_forward_attributes(
+                scene, res["shade_tables"], res["TriRows"], vis
+            )
             # The reference samples the shadow map but forces shadow = 1.0
             # (default.frag:79); forward_shade(None) reproduces that.
             img = shade.forward_shade(attrs, pfd, shadow=None)
@@ -51,6 +53,7 @@ class ForwardRasterPath(RenderPath):
         graph.add_pass(
             "Forward Pass",
             forward_pass,
-            inputs=("scene", "pfd", "World", "Clip", "Shadow Map"),
+            inputs=("scene", "pfd", "Clip", "Shadow Map", "shade_tables",
+                    "TriRows"),
             outputs=(RENDER_OUTPUT,),
         )

@@ -68,7 +68,9 @@ class HybridPath(RenderPath):
             scene = res["scene"]
             clip = res["Clip"]
             vis = rasterize_for_path(scene, clip, w, h, cfg)
-            gb = gbuffer.resolve_gbuffer(scene, res["World"], clip, vis, res["pfd"])
+            gb = gbuffer.resolve_gbuffer(
+                scene, res["shade_tables"], res["TriRows"], vis, res["pfd"]
+            )
             return {
                 "Albedo": gb.albedo,
                 "World Space Normals and Object IDs": gb.normal_oid,
@@ -79,7 +81,7 @@ class HybridPath(RenderPath):
         graph.add_pass(
             "G-Buffer Pass",
             gbuffer_pass,
-            inputs=("scene", "pfd", "World", "Clip"),
+            inputs=("scene", "pfd", "Clip", "shade_tables", "TriRows"),
             outputs=(
                 "Albedo",
                 "World Space Normals and Object IDs",
@@ -108,6 +110,8 @@ class HybridPath(RenderPath):
             def raytrace_pass(res):
                 shadow_ao, refl = raygen.hybrid_raytrace(
                     res["scene"],
+                    res["shade_tables"],
+                    res["TriRows"],
                     res["BVH"],
                     res["WorldTris"],
                     res["pfd"],
@@ -125,6 +129,8 @@ class HybridPath(RenderPath):
                 raytrace_pass,
                 inputs=(
                     "scene",
+                    "shade_tables",
+                    "TriRows",
                     "pfd",
                     "BVH",
                     "WorldTris",

@@ -26,7 +26,10 @@ def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
 
 def add_geometry_pass(graph: RenderGraph):
     """Vertex transforms: object -> world -> camera/light clip space (the vertex
-    shader stage of every raster pass, gbuf.vert / depth_prepass.vert)."""
+    shader stage of every raster pass, gbuf.vert / depth_prepass.vert).  Also
+    assembles the per-frame TriRow gather table (ops/shadetab.py) the resolve
+    passes consume."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
 
     def fn(res):
         scene = res["scene"]
@@ -36,14 +39,17 @@ def add_geometry_pass(graph: RenderGraph):
         clip = geometry.to_clip(world.position, viewproj)
         clip_light = geometry.to_clip(world.position, pfd.directional_light.projview)
         tris = bvh_ops.world_triangles(world.position, scene.tri_vertex)
+        tri_rows = shadetab.make_tri_rows(
+            res["shade_tables"], scene, world.position, clip
+        )
         return {"World": world, "Clip": clip, "LightClip": clip_light,
-                "WorldTris": tris}
+                "WorldTris": tris, "TriRows": tri_rows}
 
     graph.add_pass(
         "Geometry",
         fn,
-        inputs=("scene", "pfd", "prim_transform"),
-        outputs=("World", "Clip", "LightClip", "WorldTris"),
+        inputs=("scene", "pfd", "prim_transform", "shade_tables"),
+        outputs=("World", "Clip", "LightClip", "WorldTris", "TriRows"),
     )
 
 

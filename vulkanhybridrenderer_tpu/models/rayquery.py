@@ -37,7 +37,9 @@ class RayqueryPath(RenderPath):
             clip = res["Clip"]
             # no alpha discard in the rayquery fragment shader (default.frag)
             vis = rasterize_for_path(scene, clip, w, h, cfg, alpha=False)
-            attrs = shade.resolve_forward_attributes(scene, res["World"], clip, vis)
+            attrs = shade.resolve_forward_attributes(
+                scene, res["shade_tables"], res["TriRows"], vis
+            )
 
             l_dir = -pfd.directional_light.direction[:3]
             origins = attrs["position"].reshape(-1, 3)
@@ -57,6 +59,7 @@ class RayqueryPath(RenderPath):
         graph.add_pass(
             "Rayquery Pass",
             rayquery_pass,
-            inputs=("scene", "pfd", "World", "Clip", "BVH", "WorldTris"),
+            inputs=("scene", "pfd", "Clip", "BVH", "WorldTris", "shade_tables",
+                    "TriRows"),
             outputs=(RENDER_OUTPUT,),
         )

@@ -63,7 +63,9 @@ class RaytracedPath(RenderPath):
             filt = traverse.make_alpha_hit_filter(scene) if test_alpha else None
             rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX, hit_filter=filt)
 
-            at = rt_shade.interpolate_hit_attributes(scene, rec.tri, rec.u, rec.v)
+            at = rt_shade.interpolate_hit_attributes(
+                res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v
+            )
             l_dir = -pfd.directional_light.direction[:3]
             shadow = traverse.trace(
                 bvh,
@@ -77,7 +79,8 @@ class RaytracedPath(RenderPath):
             )
             lit = ~shadow.hit
             shaded = rt_shade.primary_hit_shade(
-                scene, pfd, rec.tri, rec.u, rec.v, lit, test_alpha=test_alpha
+                scene, res["shade_tables"], res["TriRows"], pfd, rec.tri, rec.u,
+                rec.v, lit, test_alpha=test_alpha
             )
             img = jnp.where(rec.hit[:, None], shaded, SKY)
             return {"Raytraced Output": img.reshape(h, w, 4).transpose(2, 0, 1)}
@@ -85,7 +88,8 @@ class RaytracedPath(RenderPath):
         graph.add_pass(
             "Raytrace Pass",
             raytrace_pass,
-            inputs=("scene", "pfd", "BVH", "WorldTris"),
+            inputs=("scene", "pfd", "BVH", "WorldTris", "shade_tables",
+                    "TriRows"),
             outputs=("Raytraced Output",),
         )
 

@@ -85,76 +85,70 @@ def make_alpha_frag_mask(scene: SceneBuffers, clip):
     return frag_mask
 
 
+def apply_normal_map(n_obj, tan_obj, nm_tex, ts_rgb):
+    """Object-space normal mapping, the reference's exact formulas
+    (gbuf.frag:35-41, incl. the unusual bitangent = cross(sampled_n, tangent)
+    * tangent.w).  ts_rgb: the sampled normal-map texel rgb."""
+    has_nm = nm_tex >= 0
+    ts_n = normalize(ts_rgb * 2.0 - 1.0)
+    bitangent = jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
+    t_ortho = normalize(
+        tan_obj[..., :3]
+        - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
+    )
+    n_mapped = (
+        t_ortho * ts_n[..., 0:1]
+        + bitangent * ts_n[..., 1:2]
+        + n_obj * ts_n[..., 2:3]
+    )
+    return jnp.where(has_nm[..., None], n_mapped, n_obj)
+
+
 def resolve_gbuffer(
     scene: SceneBuffers,
-    world: WorldGeometry,
-    clip,
+    tables,
+    tri_rows,
     vis: VisibilityBuffer,
     pfd: PerFrameData,
 ) -> GBuffer:
     """vis -> GBuffer (albedo, world normal + object id, motion + metallic/roughness,
-    depth).  `clip` is the (V, 4) clip-space vertex buffer from the raster pass."""
+    depth).  `tables`/`tri_rows` are the fused gather tables (ops/shadetab.py):
+    the whole resolve costs 1 TriRow + 1 PrimRow + 4 atlas-row gathers per pixel
+    (+4 per optional normal-map / metallic-roughness texture sample)."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
     h, w = vis.tri_id.shape
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
-    # flat 1-D gathers throughout (row gathers are ~300x slower on TPU)
-    vidx = jnp.stack(
-        [flat_gather(scene.tri_vertex[:, j], tri) for j in range(3)], axis=-1
-    )  # (H, W, 3)
-    prim = flat_gather(scene.tri_prim, tri)  # (H, W)
-    mats = scene.materials
+    tr = shadetab.fetch_tri(tri_rows, tri)  # ONE row gather
+    prim = tr["prim"]
+    pm = shadetab.fetch_prim(tables.prim_rows, prim)  # ONE row gather
 
-    clip_w = clip[:, 3]
-    inv_w = 1.0 / jnp.maximum(
-        jnp.stack(
-            [flat_gather(clip_w, vidx[..., j]) for j in range(3)], axis=-1
-        ),
-        1e-9,
-    )  # (H, W, 3)
+    inv_w = 1.0 / jnp.maximum(tr["clip_w"], 1e-9)
     wts = perspective_weights(vis.bary, inv_w)
-
-    uv = interpolate(scene.uv0, vidx, wts)  # (H, W, 2)
-    n_obj = interpolate(scene.normals, vidx, wts)
-    tan_obj = interpolate(scene.tangents, vidx, wts)
-    pos_world = interpolate(world.position, vidx, wts)
+    uv = shadetab.interpolate3(tr["uv0"], wts)
+    n_obj = shadetab.interpolate3(tr["normal"], wts)
+    tan_obj = shadetab.interpolate3(tr["tangent"], wts)
+    pos_world = shadetab.interpolate3(tr["pos"], wts)
 
     # ---- albedo (gbuf.frag:19-33) --------------------------------------------
-    base_tex = flat_gather(mats.base_color_texture, prim)
-    base_col = jnp.stack(
-        [flat_gather(mats.base_color[:, c], prim) for c in range(4)], axis=-1
+    albedo = shadetab.sample_atlas4(
+        tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], uv,
+        fallback=pm["base_color"],
     )
-    albedo = sample_or_factor(scene.atlas, base_tex, uv, base_col)
 
     # ---- normal mapping in object space (gbuf.frag:35-41) ---------------------
     # static skip when NO material has a normal map: saves a full bilinear atlas
-    # sample (16 gathers/pixel) that would be where()-discarded anyway
+    # sample (4 gathers/pixel) that would be where()-discarded anyway
     if scene.has_normal_maps:
-        nm_tex = flat_gather(mats.normal_map, prim)
-        has_nm = nm_tex >= 0
-        ts_n = sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
-        ts_n = normalize(ts_n)
-        bitangent = (
-            jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
-        )  # reference's exact formula (gbuf.frag:36)
-        t_ortho = normalize(
-            tan_obj[..., :3]
-            - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
-        )
-        n_mapped = (
-            t_ortho * ts_n[..., 0:1]
-            + bitangent * ts_n[..., 1:2]
-            + n_obj * ts_n[..., 2:3]
-        )
-        n_final_obj = jnp.where(has_nm[..., None], n_mapped, n_obj)
+        ts = shadetab.sample_atlas4(
+            tables, pm["nm_tex"], pm["nm_scale"], pm["nm_offset"], uv
+        )[..., :3]
+        n_final_obj = apply_normal_map(n_obj, tan_obj, pm["nm_tex"], ts)
     else:
         n_final_obj = n_obj
 
-    nmflat = scene.prim_normal_mat.reshape(-1, 16)  # rows: i*4+j
-    nm3 = jnp.stack(
-        [flat_gather(nmflat[:, i * 4 + j], prim) for i in range(3) for j in range(3)],
-        axis=-1,
-    ).reshape(h, w, 3, 3)
-    n_world = normalize(jnp.einsum("hwij,hwj->hwi", nm3, n_final_obj))
+    n_world = normalize(jnp.einsum("hwij,hwj->hwi", pm["normal_mat"], n_final_obj))
 
     # ---- motion vectors (gbuf.vert:26, gbuf.frag:43-46) ------------------------
     xx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
@@ -170,17 +164,14 @@ def resolve_gbuffer(
 
     # ---- metallic / roughness (gbuf.frag:48-55; G/B swap kept) -----------------
     if scene.has_mr_textures:
-        mr_tex = flat_gather(mats.metallic_roughness_texture, prim)
-        mr = sample_atlas_bilinear(scene.atlas, mr_tex, uv)
-        metallic = flat_gather(mats.metallic_factor, prim) * jnp.where(
-            mr_tex >= 0, mr[..., 1], 1.0
+        mr = shadetab.sample_atlas4(
+            tables, pm["mr_tex"], pm["mr_scale"], pm["mr_offset"], uv
         )
-        roughness = flat_gather(mats.roughness_factor, prim) * jnp.where(
-            mr_tex >= 0, mr[..., 2], 1.0
-        )
+        metallic = pm["metallic"] * jnp.where(pm["mr_tex"] >= 0, mr[..., 1], 1.0)
+        roughness = pm["roughness"] * jnp.where(pm["mr_tex"] >= 0, mr[..., 2], 1.0)
     else:
-        metallic = flat_gather(mats.metallic_factor, prim)
-        roughness = flat_gather(mats.roughness_factor, prim)
+        metallic = pm["metallic"]
+        roughness = pm["roughness"]
 
     # ---- assemble with clear values -------------------------------------------
     v = valid

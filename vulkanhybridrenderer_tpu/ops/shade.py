@@ -12,59 +12,42 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops import gbuffer as gbuf_ops
-from vulkanhybridrenderer_tpu.ops.filters import flat_gather
-from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import PI_INVERSE, normalize
 
 
-def resolve_forward_attributes(scene: SceneBuffers, world, clip, vis):
+def resolve_forward_attributes(scene: SceneBuffers, tables, tri_rows, vis):
     """Interpolate the attribute set the forward fragment shaders consume:
-    world position, object-space normal (normal-mapped), uv, albedo, validity."""
+    world position, object-space normal (normal-mapped), uv, albedo, validity.
+
+    Uses the fused gather tables (ops/shadetab.py): 1 TriRow + 1 PrimRow +
+    4 atlas-row gathers per pixel (+4 when normal maps are present)."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
-    vidx = jnp.stack(
-        [flat_gather(scene.tri_vertex[:, j], tri) for j in range(3)], axis=-1
-    )
-    prim = flat_gather(scene.tri_prim, tri)
-    mats = scene.materials
+    tr = shadetab.fetch_tri(tri_rows, tri)
+    prim = tr["prim"]
+    pm = shadetab.fetch_prim(tables.prim_rows, prim)
 
-    clip_w = clip[:, 3]
-    inv_w = 1.0 / jnp.maximum(
-        jnp.stack(
-            [flat_gather(clip_w, vidx[..., j]) for j in range(3)], axis=-1
-        ),
-        1e-9,
-    )
+    inv_w = 1.0 / jnp.maximum(tr["clip_w"], 1e-9)
     wts = gbuf_ops.perspective_weights(vis.bary, inv_w)
-    uv = gbuf_ops.interpolate(scene.uv0, vidx, wts)
-    n_obj = gbuf_ops.interpolate(scene.normals, vidx, wts)
-    tan_obj = gbuf_ops.interpolate(scene.tangents, vidx, wts)
-    pos_world = gbuf_ops.interpolate(world.position, vidx, wts)
+    uv = shadetab.interpolate3(tr["uv0"], wts)
+    n_obj = shadetab.interpolate3(tr["normal"], wts)
+    tan_obj = shadetab.interpolate3(tr["tangent"], wts)
+    pos_world = shadetab.interpolate3(tr["pos"], wts)
 
-    base_col = jnp.stack(
-        [flat_gather(mats.base_color[:, c], prim) for c in range(4)], axis=-1
-    )
-    albedo = sample_or_factor(
-        scene.atlas, flat_gather(mats.base_color_texture, prim), uv, base_col
+    albedo = shadetab.sample_atlas4(
+        tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], uv,
+        fallback=pm["base_color"],
     )
 
     # normal mapping, object space (default.frag:62-69; same formula as gbuf.frag);
     # statically skipped when no material has a normal map (saves an atlas sample)
     if scene.has_normal_maps:
-        nm_tex = flat_gather(mats.normal_map, prim)
-        has_nm = nm_tex >= 0
-        ts_n = normalize(
-            sample_atlas_bilinear(scene.atlas, nm_tex, uv)[..., :3] * 2.0 - 1.0
-        )
-        bitangent = jnp.cross(ts_n, tan_obj[..., :3]) * tan_obj[..., 3:4]
-        t_ortho = normalize(
-            tan_obj[..., :3]
-            - n_obj * jnp.sum(tan_obj[..., :3] * n_obj, axis=-1, keepdims=True)
-        )
-        n_mapped = (
-            t_ortho * ts_n[..., 0:1] + bitangent * ts_n[..., 1:2] + n_obj * ts_n[..., 2:3]
-        )
-        n = jnp.where(has_nm[..., None], n_mapped, n_obj)
+        ts = shadetab.sample_atlas4(
+            tables, pm["nm_tex"], pm["nm_scale"], pm["nm_offset"], uv
+        )[..., :3]
+        n = gbuf_ops.apply_normal_map(n_obj, tan_obj, pm["nm_tex"], ts)
     else:
         n = n_obj
     return dict(valid=valid, prim=prim, uv=uv, normal=n, position=pos_world,

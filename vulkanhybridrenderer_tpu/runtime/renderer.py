@@ -46,6 +46,7 @@ class Renderer:
         self.temporal_state = make_temporal_state(self.config.height, self.config.width)
         self.prim_transform = scene.buffers.prim_transform
         self._bvh = None
+        self._shade_tables = None
 
     # -- path / config switching (renderer.cpp:159-181) ---------------------------
     def set_path(self, name: str):
@@ -121,6 +122,16 @@ class Renderer:
             self._bvh = bvh8_ops.build_bvh8_host(binary, tris)
         return self._bvh
 
+    def _get_shade_tables(self):
+        """Pack the fused gather tables once per scene (ops/shadetab.py) -- the
+        TPU analogue of building bindless descriptor tables at scene load
+        (resource_manager.cpp:366-463)."""
+        if self._shade_tables is None:
+            from vulkanhybridrenderer_tpu.ops import shadetab
+
+            self._shade_tables = shadetab.build_shade_tables(self.scene.buffers)
+        return self._shade_tables
+
     def _resources(self, pfd):
         return {
             "scene": self.scene.buffers,
@@ -128,6 +139,7 @@ class Renderer:
             "prim_transform": self.prim_transform,
             "temporal_state": self.temporal_state,
             "bvh": self._get_bvh(),
+            "shade_tables": self._get_shade_tables(),
         }
 
     # -- frame loop -----------------------------------------------------------------
