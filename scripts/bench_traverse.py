@@ -95,6 +95,8 @@ def main():
         print(f"using BVH8: {b.num_rows} rows "
               f"({b.num_rows * 512 / 1e6:.1f} MB), depth {b.depth}", flush=True)
     for name, dkey, kw in cases:
+        if "phases" in kw:
+            kw["phases"] = tuple(map(tuple, kw["phases"]))
         t = bench(lambda d=dirs[dkey], kw=kw: traverse.trace(
             b, tris, origin, d, 0.01, 1e4, **kw).t)
         print(f"{name}: {t*1e3:9.1f} ms  ({r_count/t/1e6:7.2f} Mrays/s)", flush=True)

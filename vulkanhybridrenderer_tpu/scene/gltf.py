@@ -284,6 +284,27 @@ class _Gltf:
                     data, np.uint8, count * stride, offset=base
                 ).reshape(count, stride)
                 out = rows[:, : np.dtype(dtype).itemsize * ncomp].copy().view(dtype)
+        sparse = acc.get("sparse")
+        if sparse:
+            # glTF 2.0 sparse accessors: substitute `count` rows of `values`
+            # at positions `indices` (both tightly packed in their own views).
+            # (The reference gets this from cgltf, scene_loader.cpp:334-349.)
+            n = sparse["count"]
+            isec = sparse["indices"]
+            idt = _COMPONENT_DTYPES[isec["componentType"]]
+            iview = self.json["bufferViews"][isec["bufferView"]]
+            ibase = iview.get("byteOffset", 0) + isec.get("byteOffset", 0)
+            sidx = np.frombuffer(
+                self.buffers[iview["buffer"]], idt, n, offset=ibase
+            ).astype(np.int64)
+            vsec = sparse["values"]
+            vview = self.json["bufferViews"][vsec["bufferView"]]
+            vbase = vview.get("byteOffset", 0) + vsec.get("byteOffset", 0)
+            vals = np.frombuffer(
+                self.buffers[vview["buffer"]], dtype, n * ncomp, offset=vbase
+            ).reshape(n, ncomp)
+            out = np.array(out)
+            out[sidx] = vals
         if acc.get("normalized"):
             info = np.iinfo(dtype)
             out = out.astype(np.float32) / float(info.max)

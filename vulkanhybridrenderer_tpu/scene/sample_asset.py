@@ -1,0 +1,408 @@
+"""Programmatic construction of a *real* multi-feature glTF 2.0 binary asset.
+
+The reference ships binary scenes (Pica.glb hard-coded at renderer.cpp:22,
+Sponza/Bistro demos in the README); this environment has no network, so the
+equivalent test asset is built from scratch here — with an independent writer
+(raw struct/json/PIL, sharing no code with scene/gltf.py) so loading it
+genuinely round-trips the loader.
+
+The generated "Atrium" asset exercises every loader branch:
+  * 11 primitives over a node HIERARCHY (parented transforms, TRS nodes)
+  * 4 embedded PNG textures: sRGB base color, alpha-cutout leaf, normal map,
+    metallic-roughness (linear)
+  * 4 materials: textured PBR (+normal/+MR maps), alpha MASK w/ cutoff,
+    factor-only, second textured
+  * one INTERLEAVED vertex buffer (byteStride accessors)
+  * one SPARSE accessor (displaced positions)
+  * TEXCOORD_1 on one primitive, TANGENTs where normal-mapped
+  * u16 AND u32 index types
+  * a perspective camera node and a KHR_lights_punctual directional light
+"""
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import numpy as np
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _brick_texture(n=64):
+    img = np.zeros((n, n, 4), np.uint8)
+    img[..., 3] = 255
+    for y in range(n):
+        for_row = (y // 8) % 2
+        for x in range(n):
+            mortar = (y % 8 == 0) or ((x + for_row * 4) % 8 == 0)
+            img[y, x, :3] = (190, 190, 185) if mortar else (165, 70, 48)
+    return img
+
+
+def _leaf_texture(n=32):
+    img = np.zeros((n, n, 4), np.uint8)
+    yy, xx = np.mgrid[0:n, 0:n]
+    c = ((yy - n / 2) ** 2 / (n / 2.2) ** 2 + (xx - n / 2) ** 2 / (n / 3.2) ** 2) < 1
+    img[..., 1] = np.where(c, 150, 0)
+    img[..., 0] = np.where(c, 40, 0)
+    img[..., 2] = np.where(c, 30, 0)
+    img[..., 3] = np.where(c, 255, 0)
+    return img
+
+
+def _normal_map(n=32):
+    img = np.zeros((n, n, 4), np.uint8)
+    yy, xx = np.mgrid[0:n, 0:n]
+    nx = 0.3 * np.sin(xx * np.pi / 4)
+    ny = 0.3 * np.sin(yy * np.pi / 4)
+    nz = np.sqrt(np.clip(1 - nx**2 - ny**2, 0, 1))
+    img[..., 0] = ((nx * 0.5 + 0.5) * 255).astype(np.uint8)
+    img[..., 1] = ((ny * 0.5 + 0.5) * 255).astype(np.uint8)
+    img[..., 2] = ((nz * 0.5 + 0.5) * 255).astype(np.uint8)
+    img[..., 3] = 255
+    return img
+
+
+def _mr_texture(n=32):
+    img = np.zeros((n, n, 4), np.uint8)
+    yy, xx = np.mgrid[0:n, 0:n]
+    img[..., 1] = 40 + (xx * 4).astype(np.uint8)
+    img[..., 2] = np.where((yy // 8 + xx // 8) % 2 == 0, 220, 60)
+    img[..., 3] = 255
+    return img
+
+
+def _quad(sx=1.0, sz=1.0):
+    pos = np.array(
+        [[-sx, 0, -sz], [sx, 0, -sz], [sx, 0, sz], [-sx, 0, sz]], np.float32
+    )
+    nrm = np.tile(np.array([[0, 1, 0]], np.float32), (4, 1))
+    tan = np.tile(np.array([[1, 0, 0, 1]], np.float32), (4, 1))
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 2, 1, 0, 3, 2], np.uint16)
+    return pos, nrm, tan, uv, idx
+
+
+def _box(hx=0.5, hy=0.5, hz=0.5):
+    faces = []
+    for axis, sign in [(0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)]:
+        n = np.zeros(3, np.float32)
+        n[axis] = sign
+        u = np.zeros(3, np.float32)
+        u[(axis + 1) % 3] = 1
+        v = np.cross(n, u)
+        c = n * (hx, hy, hz)[axis]
+        hu = (hx, hy, hz)[(axis + 1) % 3]
+        hv = float(np.abs(v @ np.array([hx, hy, hz])))
+        quad = [
+            c - u * hu - v * hv, c + u * hu - v * hv,
+            c + u * hu + v * hv, c - u * hu + v * hv,
+        ]
+        faces.append((np.asarray(quad, np.float32), n))
+    pos = np.concatenate([f[0] for f in faces])
+    nrm = np.concatenate([np.tile(f[1], (4, 1)) for f in faces]).astype(np.float32)
+    uv = np.tile(np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32), (6, 1))
+    tan = np.zeros((24, 4), np.float32)
+    tan[:, 0] = 1
+    tan[:, 3] = 1
+    idx = np.concatenate(
+        [np.array([0, 2, 1, 0, 3, 2], np.uint16) + 4 * f for f in range(6)]
+    )
+    return pos, nrm, tan, uv, idx
+
+
+def _icosahedron():
+    t = (1 + 5**0.5) / 2
+    v = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float32,
+    )
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.uint32,
+    )
+    return v, f
+
+
+class _GlbWriter:
+    """Minimal from-scratch GLB writer (not derived from the loader)."""
+
+    def __init__(self):
+        self.bin = bytearray()
+        self.views = []
+        self.accessors = []
+
+    def _pad(self, align=4):
+        while len(self.bin) % align:
+            self.bin.append(0)
+
+    def add_view(self, data: bytes, stride=None) -> int:
+        self._pad()
+        view = {"buffer": 0, "byteOffset": len(self.bin), "byteLength": len(data)}
+        if stride is not None:
+            view["byteStride"] = stride
+        self.bin.extend(data)
+        self.views.append(view)
+        return len(self.views) - 1
+
+    def add_accessor(self, arr: np.ndarray, type_str: str, component: int,
+                     view=None, byte_offset=0, normalized=False,
+                     minmax=False) -> int:
+        if view is None:
+            view = self.add_view(np.ascontiguousarray(arr).tobytes())
+            byte_offset = 0
+        acc = {
+            "bufferView": view,
+            "byteOffset": byte_offset,
+            "componentType": component,
+            "count": int(arr.shape[0]),
+            "type": type_str,
+        }
+        if normalized:
+            acc["normalized"] = True
+        if minmax:
+            acc["min"] = np.asarray(arr).min(0).tolist()
+            acc["max"] = np.asarray(arr).max(0).tolist()
+        self.accessors.append(acc)
+        return len(self.accessors) - 1
+
+
+F32 = 5126
+U16 = 5123
+U32 = 5125
+
+
+def build_sample_glb(path) -> dict:
+    """Write the Atrium GLB to `path`; returns ground-truth info for tests."""
+    w = _GlbWriter()
+    truth = {"prims": 0}
+
+    images = [
+        _brick_texture(), _leaf_texture(), _normal_map(), _mr_texture()
+    ]
+    image_views = [w.add_view(_png_bytes(im)) for im in images]
+
+    meshes = []
+    nodes = []
+
+    # ---- floor: INTERLEAVED pos/normal/uv buffer with byteStride --------------
+    pos, nrm, tan, uv, idx = _quad(6.0, 6.0)
+    inter = np.concatenate([pos, nrm, uv], axis=1).astype(np.float32)  # (4, 8)
+    iv = w.add_view(inter.tobytes(), stride=32)
+    a_pos = w.add_accessor(pos, "VEC3", F32, view=iv, byte_offset=0, minmax=True)
+    a_nrm = w.add_accessor(nrm, "VEC3", F32, view=iv, byte_offset=12)
+    a_uv = w.add_accessor(uv, "VEC2", F32, view=iv, byte_offset=24)
+    a_tan = w.add_accessor(tan, "VEC4", F32)
+    a_idx = w.add_accessor(idx.reshape(-1, 1), "SCALAR", U16)
+    meshes.append({"primitives": [{
+        "attributes": {"POSITION": a_pos, "NORMAL": a_nrm, "TEXCOORD_0": a_uv,
+                       "TANGENT": a_tan},
+        "indices": a_idx, "material": 0,
+    }]})
+    nodes.append({"mesh": 0, "name": "floor"})
+    truth["prims"] += 1
+    truth["floor_interleaved_pos"] = pos.copy()
+
+    # ---- 4 columns (boxes, factor material), CHILDREN of a parent node --------
+    pos, nrm, tan, uv, idx = _box(0.35, 1.6, 0.35)
+    a = {
+        "POSITION": w.add_accessor(pos, "VEC3", F32, minmax=True),
+        "NORMAL": w.add_accessor(nrm, "VEC3", F32),
+        "TEXCOORD_0": w.add_accessor(uv, "VEC2", F32),
+    }
+    a_idx = w.add_accessor(idx.reshape(-1, 1), "SCALAR", U16)
+    meshes.append({"primitives": [
+        {"attributes": a, "indices": a_idx, "material": 2}
+    ]})
+    col_children = []
+    for i, (cx, cz) in enumerate([(-3, -3), (3, -3), (-3, 3), (3, 3)]):
+        nodes.append({"mesh": 1, "translation": [cx, 1.6, cz],
+                      "name": f"column{i}"})
+        col_children.append(len(nodes) - 1)
+        truth["prims"] += 1
+    # parent shifts all columns by +0.5 in z (exercises hierarchy transforms)
+    nodes.append({"children": col_children, "translation": [0, 0, 0.5],
+                  "name": "colonnade"})
+    truth["column0_world_x"] = -3.0
+    truth["column0_world_z"] = -3.0 + 0.5
+
+    # ---- back wall (textured brick + normal map + MR map) ---------------------
+    pos, nrm, tan, uv, idx = _quad(6.0, 2.0)
+    a = {
+        "POSITION": w.add_accessor(pos, "VEC3", F32, minmax=True),
+        "NORMAL": w.add_accessor(nrm, "VEC3", F32),
+        "TANGENT": w.add_accessor(tan, "VEC4", F32),
+        "TEXCOORD_0": w.add_accessor(uv * 3.0, "VEC2", F32),
+    }
+    a_idx = w.add_accessor(idx.reshape(-1, 1), "SCALAR", U16)
+    meshes.append({"primitives": [
+        {"attributes": a, "indices": a_idx, "material": 0}
+    ]})
+    nodes.append({"mesh": 2, "translation": [0, 2.0, -6.0],
+                  "rotation": [0.7071068, 0, 0, 0.7071068], "name": "wall"})
+    truth["prims"] += 1
+
+    # ---- 2 alpha-masked leaves ------------------------------------------------
+    pos, nrm, tan, uv, idx = _quad(0.8, 0.8)
+    a = {
+        "POSITION": w.add_accessor(pos, "VEC3", F32, minmax=True),
+        "NORMAL": w.add_accessor(nrm, "VEC3", F32),
+        "TEXCOORD_0": w.add_accessor(uv, "VEC2", F32),
+    }
+    a_idx = w.add_accessor(idx.reshape(-1, 1), "SCALAR", U16)
+    meshes.append({"primitives": [
+        {"attributes": a, "indices": a_idx, "material": 1}
+    ]})
+    for i, (lx, lz) in enumerate([(-1.5, 0.0), (1.5, 1.0)]):
+        nodes.append({"mesh": 3, "translation": [lx, 1.2, lz],
+                      "name": f"leaf{i}"})
+        truth["prims"] += 1
+
+    # ---- sphere with SPARSE position accessor (u32 indices) -------------------
+    v, f = _icosahedron()
+    base_pos = v.astype(np.float32)
+    # sparse: push 4 vertices outward 1.5x
+    sparse_idx = np.array([0, 3, 7, 9], np.uint16)
+    sparse_vals = (base_pos[sparse_idx] * 1.5).astype(np.float32)
+    pv = w.add_view(base_pos.tobytes())
+    acc = {
+        "bufferView": pv,
+        "byteOffset": 0,
+        "componentType": F32,
+        "count": len(base_pos),
+        "type": "VEC3",
+        "min": base_pos.min(0).tolist(),
+        "max": (base_pos.max(0) * 1.5).tolist(),
+        "sparse": {
+            "count": 4,
+            "indices": {
+                "bufferView": w.add_view(sparse_idx.tobytes()),
+                "componentType": U16,
+            },
+            "values": {"bufferView": w.add_view(sparse_vals.tobytes())},
+        },
+    }
+    w.accessors.append(acc)
+    a_pos = len(w.accessors) - 1
+    a = {
+        "POSITION": a_pos,
+        "NORMAL": w.add_accessor(base_pos, "VEC3", F32),
+    }
+    a_idx = w.add_accessor(f.reshape(-1, 1).astype(np.uint32), "SCALAR", U32)
+    meshes.append({"primitives": [
+        {"attributes": a, "indices": a_idx, "material": 2}
+    ]})
+    nodes.append({"mesh": 4, "translation": [0, 1.0, -2.0],
+                  "scale": [0.6, 0.6, 0.6], "name": "spiky"})
+    truth["prims"] += 1
+    truth["sparse_vertex0_local"] = base_pos[0] * 1.5  # displaced by sparse
+
+    # ---- quad with TEXCOORD_1 + second textured material (brick again) --------
+    pos, nrm, tan, uv, idx = _quad(1.2, 1.2)
+    uv1 = uv * 0.5 + 0.25
+    a = {
+        "POSITION": w.add_accessor(pos, "VEC3", F32, minmax=True),
+        "NORMAL": w.add_accessor(nrm, "VEC3", F32),
+        "TEXCOORD_0": w.add_accessor(uv, "VEC2", F32),
+        "TEXCOORD_1": w.add_accessor(uv1, "VEC2", F32),
+    }
+    a_idx = w.add_accessor(idx.reshape(-1, 1), "SCALAR", U16)
+    # two primitives in ONE mesh (multi-primitive mesh branch)
+    meshes.append({"primitives": [
+        {"attributes": a, "indices": a_idx, "material": 3},
+        {"attributes": a, "indices": a_idx, "material": 2},
+    ]})
+    nodes.append({"mesh": 5, "translation": [2.5, 0.01, 2.5], "name": "rug"})
+    truth["prims"] += 2
+    truth["uv1"] = uv1.copy()
+
+    # ---- camera + light nodes -------------------------------------------------
+    nodes.append({
+        "camera": 0,
+        "translation": [0.0, 2.2, 7.0],
+        "name": "cam",
+    })
+    nodes.append({
+        "extensions": {"KHR_lights_punctual": {"light": 0}},
+        "rotation": [-0.3826834, 0, 0, 0.9238795],  # pitch -45deg: light down -z/-y
+        "name": "sun",
+    })
+
+    doc = {
+        "asset": {"version": "2.0", "generator": "vulkanhybridrenderer_tpu test"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": meshes,
+        "cameras": [{
+            "type": "perspective",
+            "perspective": {"yfov": 1.0, "znear": 0.1, "aspectRatio": 1.0},
+        }],
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "extensions": {"KHR_lights_punctual": {"lights": [
+            {"type": "directional", "color": [1.0, 0.98, 0.92], "intensity": 3.0}
+        ]}},
+        "materials": [
+            {  # 0: brick + normal map + MR map
+                "pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": 0},
+                    "metallicRoughnessTexture": {"index": 3},
+                },
+                "normalTexture": {"index": 2},
+            },
+            {  # 1: alpha-masked leaf
+                "pbrMetallicRoughness": {"baseColorTexture": {"index": 1}},
+                "alphaMode": "MASK",
+                "alphaCutoff": 0.4,
+                "doubleSided": True,
+            },
+            {  # 2: factor-only
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [0.75, 0.78, 0.82, 1.0],
+                    "metallicFactor": 0.1,
+                    "roughnessFactor": 0.8,
+                },
+            },
+            {  # 3: brick, no extra maps
+                "pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+            },
+        ],
+        "textures": [{"source": i} for i in range(4)],
+        "images": [
+            {"bufferView": v, "mimeType": "image/png"} for v in image_views
+        ],
+        "bufferViews": w.views,
+        "accessors": w.accessors,
+        "buffers": [{"byteLength": len(w.bin)}],
+    }
+
+    w._pad()
+    doc["buffers"][0]["byteLength"] = len(w.bin)
+    js = json.dumps(doc).encode()
+    while len(js) % 4:
+        js += b" "
+    total = 12 + 8 + len(js) + 8 + len(w.bin)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<III", 0x46546C67, 2, total))
+        fh.write(struct.pack("<II", len(js), 0x4E4F534A))
+        fh.write(js)
+        fh.write(struct.pack("<II", len(w.bin), 0x004E4942))
+        fh.write(bytes(w.bin))
+    return truth
