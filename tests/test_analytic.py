@@ -1,0 +1,265 @@
+"""Analytic (external ground truth) golden tests — VERDICT round-1 item 6.
+
+The Vulkan reference cannot run in this environment (Windows + Vulkan RT
+hardware), so these cases pin the renderer against CLOSED-FORM expected
+values computed here in pure numpy, independent of the package's math:
+the camera model is re-derived from the reference's documented projection
+(InfiniteReverseDepthProjection, vulkan_utils.h:494-503: clip =
+[s/a*x, -s*y, znear, -z_view], depth = znear / -z_view) and ray/plane/AABB
+intersections are written out locally.
+
+Cases:
+  1. depth buffer of a camera-facing plane == znear / distance (exact)
+  2. forward flat lighting == albedo/pi + albedo * max(N.L, 0) * color
+     (the default.frag:71-85 formula with its forced shadow = 1.0)
+  3. SSAO of an unoccluded flat plane == 1 (Alchemy sum is empty)
+  4. RT shadow region of an axis-aligned box on the ground == analytic
+     shadow volume projection (away from the penumbra boundary)
+  5. motion vectors of a static scene under a static camera == 0
+"""
+import numpy as np
+import pytest
+
+from vulkanhybridrenderer_tpu.core.config import (
+    AmbientOcclusionMode,
+    HybridSettings,
+    RenderConfig,
+    ShadowMode,
+)
+from vulkanhybridrenderer_tpu.runtime.renderer import Renderer
+from vulkanhybridrenderer_tpu.scene.gltf import Camera
+from vulkanhybridrenderer_tpu.scene.procedural import (
+    SceneBuilder,
+    box_mesh,
+    make_directional_light,
+    quad_mesh,
+    translate,
+)
+
+W = H = 96
+
+
+def _camera_rays(cam_pos, yfov, aspect, w, h):
+    """Per-pixel world-space ray directions for an axis-aligned camera
+    (yaw = pitch = 0, looking down -z), derived in numpy from the reference
+    projection: ndc_x = (s/a * x)/(-z), ndc_y = (-s * y)/(-z), screen =
+    (ndc * 0.5 + 0.5) * size with row 0 at the top."""
+    s = 1.0 / np.tan(yfov * 0.5)
+    px = (np.arange(w) + 0.5)[None, :] * np.ones((h, 1))
+    py = (np.arange(h) + 0.5)[:, None] * np.ones((1, w))
+    ndc_x = 2.0 * px / w - 1.0
+    ndc_y = 2.0 * py / h - 1.0
+    dirs = np.stack(
+        [ndc_x * aspect / s, -ndc_y / s, -np.ones_like(ndc_x)], axis=-1
+    )
+    return dirs  # unnormalized; z component = -1
+
+
+def _ray_aabb(o, d, lo, hi, tmin=1e-4):
+    """Slab test: (..., 3) rays vs one AABB -> (hit, t_near)."""
+    safe = np.where(np.abs(d) < 1e-12, 1e-12, d)
+    inv = 1.0 / safe
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    return (tf >= np.maximum(tn, tmin)), tn
+
+
+def _erode(mask, it=2):
+    m = mask.copy()
+    for _ in range(it):
+        m[0, :] = m[-1, :] = m[:, 0] = m[:, -1] = False  # no wrap-around
+        m = (
+            m
+            & np.roll(m, 1, 0) & np.roll(m, -1, 0)
+            & np.roll(m, 1, 1) & np.roll(m, -1, 1)
+        )
+    return m
+
+
+def _wall_scene(base_color=(0.2, 0.5, 0.8, 1.0), dist=4.0):
+    b = SceneBuilder()
+    b.add(
+        box_mesh((1.5, 1.5, 0.05)),
+        translate([0, 0, -dist - 0.05]),
+        base_color=base_color,
+        metallic_factor=0.0,
+        roughness_factor=0.9,
+    )
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0,
+                 yaw=0.0, pitch=0.0, roll=0.0,
+                 position=np.zeros(3, np.float32))
+    light = make_directional_light([0.3, -0.5, -0.8], intensity=2.0)
+    return b.build("AnalyticWall", cam, light)
+
+
+def test_depth_closed_form():
+    dist = 4.0
+    scene = _wall_scene(dist=dist)
+    r = Renderer(scene, RenderConfig(width=W, height=H, shadow_map_size=64),
+                 path="hybrid")
+    depth = np.asarray(r.fetch_resource("Depth"))
+    # the wall's front face is exactly z = -dist; reverse-Z depth = znear/dist
+    expected = 0.1 / dist
+    covered = depth > 0
+    assert covered.mean() > 0.3
+    interior = _erode(covered)
+    np.testing.assert_allclose(depth[interior], expected, atol=1e-5)
+
+
+def test_forward_flat_lighting_closed_form():
+    base = np.array([0.2, 0.5, 0.8])
+    light_dir = np.array([0.3, -0.5, -0.8])
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    scene = _wall_scene(base_color=(*base, 1.0))
+    r = Renderer(scene, RenderConfig(width=W, height=H, shadow_map_size=64),
+                 path="forward")
+    img = np.asarray(r.render_frame())
+    covered = img[3] > 0
+    interior = _erode(covered)
+    # default.frag:71-85 with shadow forced to 1: albedo/pi + albedo*max(N.L,0)
+    n = np.array([0.0, 0.0, 1.0])
+    ndotl = max(float(n @ -light_dir), 0.0)
+    expected = base / np.pi + base * ndotl  # light color = (1,1,1)
+    got = img[:3][:, interior].mean(axis=1)
+    np.testing.assert_allclose(got, expected, atol=2e-3)
+
+
+def test_flat_plane_ssao_is_one():
+    b = SceneBuilder()
+    b.add(quad_mesh((40.0, 30.0)), translate([0, 0, -23.0]),
+          base_color=(0.6, 0.6, 0.6, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0, yaw=0.0,
+                 pitch=-0.9, roll=0.0,
+                 position=np.array([0.0, 4.0, 8.0], np.float32))
+    light = make_directional_light([0.2, -0.9, -0.3], intensity=2.0)
+    scene = b.build("AnalyticPlane", cam, light)
+    cfg = RenderConfig(width=W, height=H, shadow_map_size=64,
+                       hybrid=HybridSettings(ao_mode=AmbientOcclusionMode.SSAO))
+    r = Renderer(scene, cfg, path="hybrid")
+    ssao = np.asarray(
+        r.fetch_resource("Screen Space Ambient Occlusion")
+    )
+    depth = np.asarray(r.fetch_resource("Depth"))
+    interior = _erode(depth > 0, it=14)
+    assert interior.mean() > 0.25
+    plane_ao = ssao[0] if ssao.ndim == 3 else ssao
+    np.testing.assert_allclose(plane_ao[interior], 1.0, atol=2e-3)
+
+
+def test_box_shadow_region_analytic():
+    b = SceneBuilder()
+    b.add(quad_mesh((25.0, 17.0)), translate([0, 0, -14.0]),
+          base_color=(0.7, 0.7, 0.7, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    lo = np.array([-0.8, 0.0, -4.8])
+    hi = np.array([0.8, 2.2, -3.2])
+    b.add(box_mesh(((hi - lo) / 2).tolist()),
+          translate(((hi + lo) / 2).tolist()),
+          base_color=(0.8, 0.3, 0.2, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    cam_pos = np.array([0.0, 3.0, 4.0], np.float32)
+    pitch = -0.5
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0, yaw=0.0,
+                 pitch=pitch, roll=0.0, position=cam_pos)
+    ldir = np.array([0.45, -0.8, -0.2])
+    ldir = ldir / np.linalg.norm(ldir)
+    light = make_directional_light(ldir.tolist(), intensity=2.0)
+    scene = b.build("AnalyticShadow", cam, light)
+    cfg = RenderConfig(width=W, height=H, shadow_map_size=64,
+                       hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
+    r = Renderer(scene, cfg, path="hybrid")
+    shadow = np.asarray(
+        r.fetch_resource("Raytraced Shadows and Ambient Occlusion")
+    )[0]
+    oid = np.asarray(
+        r.fetch_resource("World Space Normals and Object IDs")
+    )[3]
+    depth = np.asarray(r.fetch_resource("Depth"))
+
+    # numpy ground truth: pixel -> camera ray (pitch rotation applied
+    # explicitly), floor point, then shadow iff the offset shadow ray
+    # (origin + 0.1 * N like raygen.rgen:29) hits the box AABB
+    d_cam = _camera_rays(cam_pos, np.deg2rad(60.0), 1.0, W, H)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    rot = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])  # pitch about x
+    d_world = d_cam @ rot.T
+    tz = np.where(d_world[..., 1] < -1e-6,
+                  -cam_pos[1] / d_world[..., 1], np.inf)
+    p_floor = cam_pos + d_world * tz[..., None]
+    hit_box_first, tn = _ray_aabb(
+        np.broadcast_to(cam_pos, d_world.shape), d_world, lo, hi
+    )
+    on_floor = np.isfinite(tz) & (~hit_box_first | (tn > tz))
+    o_shadow = p_floor + np.array([0.0, 0.1, 0.0])
+    in_shadow, _ = _ray_aabb(
+        o_shadow, np.broadcast_to(-ldir, o_shadow.shape), lo, hi, tmin=0.01
+    )
+    expected = np.where(in_shadow, 0.0, 1.0)
+
+    # compare only on floor pixels (object id 0), away from both the shadow
+    # boundary and the box silhouette (cone jitter + pixel footprint)
+    floor_px = (oid == 0) & (depth > 0) & on_floor
+    stable = _erode(in_shadow, 3) | _erode(~in_shadow, 3)
+    mask = floor_px & stable & _erode(~hit_box_first, 3)
+    assert mask.mean() > 0.3
+    np.testing.assert_allclose(shadow[mask], expected[mask], atol=1e-6)
+
+
+def test_static_motion_vectors_zero():
+    scene = _wall_scene()
+    cfg = RenderConfig(width=W, height=H, shadow_map_size=64)
+    r = Renderer(scene, cfg, path="hybrid")
+    r.render_frame()  # populate prev-frame matrices (equal: camera static)
+    mv = np.asarray(
+        r.fetch_resource("Motion Vectors and Metallic Roughness")
+    )
+    depth = np.asarray(r.fetch_resource("Depth"))
+    valid = depth > 0
+    np.testing.assert_allclose(mv[0][valid], 0.0, atol=1e-5)
+    np.testing.assert_allclose(mv[1][valid], 0.0, atol=1e-5)
+
+
+def test_camera_plane_crossing_floor():
+    """A huge ground plane CROSSING the camera plane must rasterize correctly:
+    the 2DH homogeneous rasterizer needs no near clipping (round 1 dropped any
+    triangle with a vertex behind the camera wholesale).  Expected depth is the
+    closed form znear / view_depth at the analytically-intersected floor
+    point."""
+    b = SceneBuilder()
+    b.add(quad_mesh((50.0, 50.0)), translate([0, 0, 0]),
+          base_color=(0.6, 0.6, 0.6, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    cam_pos = np.array([0.0, 2.0, 0.0], np.float32)
+    pitch = -0.5
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0, yaw=0.0,
+                 pitch=pitch, roll=0.0, position=cam_pos)
+    light = make_directional_light([0.2, -0.9, -0.3], intensity=2.0)
+    scene = b.build("CrossingFloor", cam, light)
+    r = Renderer(scene, RenderConfig(width=W, height=H, shadow_map_size=64),
+                 path="hybrid")
+    depth = np.asarray(r.fetch_resource("Depth"))
+
+    d_cam = _camera_rays(cam_pos, np.deg2rad(60.0), 1.0, W, H)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    rot = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    d_world = d_cam @ rot.T
+    t_floor = np.where(d_world[..., 1] < -1e-6, -cam_pos[1] / d_world[..., 1],
+                       np.inf)
+    p = cam_pos + d_world * t_floor[..., None]
+    on_quad = (np.abs(p[..., 0]) < 50) & (np.abs(p[..., 2]) < 50) & np.isfinite(
+        t_floor
+    )
+    # view depth = -(z in camera space) = rotate into camera frame
+    rel = p - cam_pos
+    z_view = rel @ rot[:, 2]  # camera z axis in world = rot col 2
+    expected = np.where(on_quad, 0.1 / np.maximum(-z_view, 1e-6), 0.0)
+
+    stable = _erode(on_quad, 2) | _erode(~on_quad, 2)
+    assert (depth[_erode(on_quad, 2)] > 0).mean() > 0.99, (
+        "camera-plane-crossing floor not rasterized"
+    )
+    m = stable & (depth > 0)
+    np.testing.assert_allclose(depth[m], expected[m], rtol=2e-3, atol=1e-5)

@@ -106,8 +106,7 @@ def test_world_position_reconstruction():
     # interpolated world position from the visibility buffer must match
     tri = jnp.maximum(vis.tri_id, 0)
     vidx = sc.buffers.tri_vertex[tri]
-    inv_w = 1.0 / jnp.maximum(clip[vidx][..., 3], 1e-9)
-    wts = gbuffer.perspective_weights(vis.bary, inv_w)
+    wts = rasterizer.weights_from_bary(vis.bary)
     pos_ref = gbuffer.interpolate(world.position, vidx, wts)
     mask = np.asarray(vis.tri_id) >= 0
     err = np.linalg.norm(np.asarray(pos - pos_ref), axis=-1)[mask]
@@ -127,3 +126,25 @@ def test_alpha_mask_discard():
     covered_nomask = (np.asarray(vis_nomask.tri_id) >= 0).mean()
     assert covered < covered_nomask * 0.9
     assert covered > 0.05
+
+
+def test_raster_state_knobs():
+    """RasterState (vulkan_pipeline_presets.h:35-78 as config): cull_mode=none
+    makes back-facing geometry visible; less_equal + clear 1.0 implements a
+    conventional (non-reverse) depth test."""
+    sc = procedural.cornell_box()
+    w = h = 64
+    pfd, world, clip, setup = _setup_scene(sc, w, h)
+    vis_cull = rasterizer.rasterize(setup, w, h, chunk=64, cull_backface=True)
+    vis_nocull = rasterizer.rasterize(setup, w, h, chunk=64, cull_backface=False)
+    # without culling, back faces (ceiling's underside etc.) add coverage
+    assert (np.asarray(vis_nocull.tri_id) >= 0).sum() >= (
+        np.asarray(vis_cull.tri_id) >= 0
+    ).sum()
+    # conventional less_equal test with clear 1.0 picks the SMALLEST depth
+    vis_le = rasterizer.rasterize(
+        setup, w, h, chunk=64, depth_compare="less_equal", depth_clear=1.0
+    )
+    m = (np.asarray(vis_le.tri_id) >= 0) & (np.asarray(vis_cull.tri_id) >= 0)
+    assert m.any()
+    assert (np.asarray(vis_le.depth)[m] <= np.asarray(vis_cull.depth)[m] + 1e-6).all()

@@ -73,3 +73,42 @@ def test_big_triangle_path():
     brute = rasterizer.rasterize(setup, w, h, chunk=64)
     full = rt.rasterize_scene(sc.buffers, clip, w, h, interpret=True)
     _assert_vis_equal(brute, full)
+
+
+def test_medium_and_big_triangle_tiers():
+    """Triangles spanning 17..256+ tiles must NOT be dropped (round-1 bug: all
+    span>16 triangles shared one 128-cap list and overflow vanished).  Builds a
+    scene of many large random triangles at a resolution where spans land in
+    every tier and checks binned == brute exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vulkanhybridrenderer_tpu.ops import rasterizer
+
+    rng = np.random.default_rng(11)
+    w, h = 1024, 512  # 8x64 tile grid
+    n = 300
+    # centers across the screen; sizes from ~1 tile to ~full screen
+    c = rng.uniform([0, 0], [w, h], (n, 2)).astype(np.float32)
+    size = np.exp(rng.uniform(np.log(20), np.log(900), n)).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi, (n, 3)).astype(np.float32)
+    ang.sort(axis=1)  # consistent winding
+    px = c[:, None, 0] + np.cos(ang) * size[:, None]
+    py = c[:, None, 1] + np.sin(ang) * size[:, None]
+    z = rng.uniform(0.1, 0.9, (n, 1)).astype(np.float32) * np.ones((1, 3), np.float32)
+    # build clip coords (w = 1) whose projection lands at the pixel coords above
+    clip = np.stack(
+        [2 * px / w - 1, 2 * py / h - 1, z, np.ones_like(z)], axis=-1
+    ).reshape(-1, 4).astype(np.float32)
+    tri_vertex = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    setup = rasterizer.triangle_setup(
+        jnp.asarray(clip), jnp.asarray(tri_vertex), w, h
+    )
+    bins = rt.bin_triangles(setup, w, h, cull_backface=False)
+    assert (np.asarray(bins.overflow) == 0).all()
+    vis_b = rt.rasterize_binned(bins, w, h, interpret=True)
+    vis_r = rasterizer.rasterize(setup, w, h, chunk=64, cull_backface=False)
+    np.testing.assert_array_equal(np.asarray(vis_b.tri_id), np.asarray(vis_r.tri_id))
+    np.testing.assert_allclose(
+        np.asarray(vis_b.depth), np.asarray(vis_r.depth), atol=1e-5
+    )

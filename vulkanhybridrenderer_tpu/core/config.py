@@ -79,6 +79,24 @@ class RayquerySettings:
 
 
 @dataclasses.dataclass(frozen=True)
+class RasterState:
+    """Raster/depth pipeline state (vulkan_pipeline_presets.h:35-78 as data).
+
+    The reference hardcodes these per preset: RASTERIZATION_STATE_DEFAULT
+    (back-face cull) vs _CULL_NONE, and DEPTH_STENCIL_STATE_RW_GREATER_OR_
+    EQUAL for its reverse-Z pipelines.  All reference pipelines use
+    greater_equal + clear 0.0; the knobs exist for parity and for user
+    pipelines.  The production binned kernel implements the reverse-Z
+    greater_equal preset; other compare ops run via the reference rasterizer
+    (config.raster = "brute").
+    """
+
+    cull_mode: str = "back"  # "back" | "none"
+    depth_compare: str = "greater_equal"  # "greater_equal" | "less_equal" | "always"
+    depth_clear: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Top-level static configuration for one compiled frame function."""
 
@@ -96,6 +114,7 @@ class RenderConfig:
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     shadow_rays: int = 4  # raygen.rgen:39-41 loop count
     ao_rays: int = 2  # raygen.rgen:45-55
+    raster_state: RasterState = dataclasses.field(default_factory=RasterState)
     hybrid: HybridSettings = dataclasses.field(default_factory=HybridSettings)
     forward: ForwardSettings = dataclasses.field(default_factory=ForwardSettings)
     raytraced: RaytracedSettings = dataclasses.field(default_factory=RaytracedSettings)

@@ -9,11 +9,20 @@ from vulkanhybridrenderer_tpu.ops import rasterizer_tiled
 
 def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
     """Rasterizer dispatch per RenderConfig.raster ("binned" Pallas tile kernel vs
-    "brute" reference scan).  Both produce identical VisibilityBuffers (tested)."""
+    "brute" reference scan), honoring config.raster_state
+    (vulkan_pipeline_presets.h:35-78).  Both produce identical
+    VisibilityBuffers (tested)."""
     alpha = alpha and config.alpha_raster != "off"
+    rs = config.raster_state
+    cull = rs.cull_mode == "back"
     if config.raster == "binned":
+        if rs.depth_compare != "greater_equal" or rs.depth_clear != 0.0:
+            raise NotImplementedError(
+                "the binned kernel implements the reverse-Z greater_equal "
+                "preset; use config.raster='brute' for other depth states"
+            )
         return rasterizer_tiled.rasterize_scene(
-            scene, clip, width, height, alpha=alpha
+            scene, clip, width, height, alpha=alpha, cull_backface=cull
         )
     setup = rasterizer.triangle_setup(clip, scene.tri_vertex, width, height)
     mask_fn = (
@@ -21,7 +30,10 @@ def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
         if (alpha and scene.has_alpha_mask)
         else None
     )
-    return rasterizer.rasterize(setup, width, height, frag_mask_fn=mask_fn)
+    return rasterizer.rasterize(
+        setup, width, height, frag_mask_fn=mask_fn, cull_backface=cull,
+        depth_compare=rs.depth_compare, depth_clear=rs.depth_clear,
+    )
 
 
 def add_geometry_pass(graph: RenderGraph):

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import GBuffer, PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops.geometry import WorldGeometry
-from vulkanhybridrenderer_tpu.ops.rasterizer import VisibilityBuffer
+from vulkanhybridrenderer_tpu.ops.rasterizer import (VisibilityBuffer,
+    weights_from_bary)
 from vulkanhybridrenderer_tpu.ops.filters import flat_gather
 from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import normalize, transform_points
@@ -57,25 +58,23 @@ def interpolate(attr_v, vidx, weights):
     return out
 
 
-def make_alpha_frag_mask(scene: SceneBuffers, clip):
+def make_alpha_frag_mask(scene: SceneBuffers, clip=None):
     """Per-fragment alpha kill for the rasterizer (gbuf.frag:27-32): fragments with
     (alpha_mask && a < cutoff) or a == 0 are discarded during depth testing.
 
-    Returns frag_mask_fn(tri_ids (C,), lam (C,H,W,3), w_inv (C,3)) -> keep (C,H,W).
-    """
+    Returns frag_mask_fn(tri_ids (C,), wts (C,H,W,3)) -> keep (C,H,W); `wts` are
+    already perspective-correct vertex weights (the 2DH rasterizer provides
+    them directly, ops/rasterizer.py)."""
 
-    def frag_mask(tri_ids, lam, w_inv):
+    def frag_mask(tri_ids, wts):
         prim = scene.tri_prim[tri_ids]  # (C,)
         tex = scene.materials.base_color_texture[prim]
         masked = scene.materials.alpha_mask[prim] == 1
         cutoff = scene.materials.alpha_cutoff[prim]
         needs_test = masked & (tex >= 0)
-        # perspective-correct uv per fragment
         vidx = scene.tri_vertex[tri_ids]  # (C, 3)
-        pw = lam * w_inv[:, None, None, :]
-        pw = pw / jnp.sum(pw, axis=-1, keepdims=True)
         uvv = scene.uv0[vidx]  # (C, 3, 2)
-        uv = jnp.einsum("chwk,ckj->chwj", pw, uvv)
+        uv = jnp.einsum("chwk,ckj->chwj", wts, uvv)
         alpha = sample_atlas_bilinear(
             scene.atlas, tex[:, None, None] * jnp.ones_like(tri_ids[:, None, None]), uv
         )[..., 3]
@@ -124,8 +123,7 @@ def resolve_gbuffer(
     prim = tr["prim"]
     pm = shadetab.fetch_prim(tables.prim_rows, prim)  # ONE row gather
 
-    inv_w = 1.0 / jnp.maximum(tr["clip_w"], 1e-9)
-    wts = perspective_weights(vis.bary, inv_w)
+    wts = weights_from_bary(vis.bary)
     uv = shadetab.interpolate3(tr["uv0"], wts)
     n_obj = shadetab.interpolate3(tr["normal"], wts)
     tan_obj = shadetab.interpolate3(tr["tangent"], wts)

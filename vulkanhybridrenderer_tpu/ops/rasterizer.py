@@ -3,22 +3,48 @@
 TPU-first redesign of the reference's raster pipelines (gbuf.vert/frag,
 depth_prepass.vert): instead of per-primitive draw calls through fixed-function
 hardware (hybrid_render_path.cpp:41-52), we rasterize the *whole scene* into a
-visibility buffer -- per pixel: (triangle id, reverse-Z depth, screen barycentrics) --
-and defer all attribute work to a separate resolve pass (ops/gbuffer.py).  That split
-keeps the depth-test inner loop tiny and vector-friendly, and turns attribute
-interpolation + texturing into big batched gathers that XLA fuses well.
+visibility buffer -- per pixel: (triangle id, reverse-Z depth, barycentric
+planes) -- and defer all attribute work to a separate resolve pass
+(ops/gbuffer.py).  That split keeps the depth-test inner loop tiny and
+vector-friendly, and turns attribute interpolation + texturing into big batched
+gathers that XLA fuses well.
 
-This module is the *reference* implementation: a `lax.scan` over triangle chunks with
-full-image edge-function evaluation per chunk.  It is exact and runs anywhere (CPU
-tests use it at small resolutions); the production Pallas path (ops/rasterizer_tiled.py)
-bins triangles to tiles first and must match it bit-for-bit on the visibility buffer.
+**Homogeneous (2DH) formulation — no near-plane clipping needed.**  The
+hardware reference clips triangles against the near plane before rasterizing;
+clipping produces a variable number of triangles, which is hostile to XLA's
+static shapes.  Instead we rasterize directly from *homogeneous* screen
+coordinates (Olano-Greer style): for vertex i with clip coords (x, y, z, w),
 
-Pipeline-state parity: back-face culling with the offscreen front-face convention
-(pipeline.cpp:99 + :170-173 -- our projections bake the y-flip, see package
-docstring), reverse-Z GREATER_OR_EQUAL depth test with clear depth 0.0
-(vulkan_pipeline_presets.h:35-40, ClearDepth(0.0) in all paths), later-triangle wins
-depth ties.  Near-plane handling: triangles with any vertex at w <= eps are rejected
-(no true clipping yet -- cameras in our scenes keep geometry past znear).
+    X_i = (0.5 x + 0.5 w) * width,   Y_i = (0.5 y + 0.5 w) * height
+
+and with M = rows (X_i, Y_i, w_i), the functions lambda_i(p)/w(p) are AFFINE in
+screen space: plane_i = cross(r_j, r_k) / det(M) (adjugate columns).  Coverage
+= all three planes >= 0 (valid for any w signs — the w > 0 restriction falls
+out of the depth-range test below), the NDC depth z/w is the affine plane
+sum_i z_i * plane_i, and the reference's reverse-Z depth-range test
+0 <= z <= 1 doubles as the near/behind-camera clip: for the infinite
+reverse-Z projection z_clip == znear so z(p) = znear / w(p), hence z > 0 <=> in
+front and z <= 1 <=> w >= znear.  Triangles crossing the camera plane therefore
+rasterize exactly without ever being clipped (the round-1 implementation
+dropped them wholesale).
+
+The visibility buffer stores the winner's raw plane values (l1, l2, S) where
+S = l0 + l1 + l2 = 1/w(p): perspective-correct barycentrics are just
+lambda_k = l_k / S (see weights_from_bary), with no per-vertex 1/w gathers at
+resolve time.
+
+This module is the *reference* implementation: a `lax.scan` over triangle
+chunks with full-image plane evaluation per chunk.  It is exact and runs
+anywhere (CPU tests use it at small resolutions); the production Pallas path
+(ops/rasterizer_tiled.py) bins triangles to tiles first, consumes the same
+`planes`, and must match it bit-for-bit on the visibility buffer.
+
+Pipeline-state parity: back-face culling with the offscreen front-face
+convention (pipeline.cpp:99 + :170-173 -- our projections bake the y-flip, see
+package docstring; front face <=> det(M) < 0, which equals the signed-screen-
+area test for w > 0 triangles), reverse-Z GREATER_OR_EQUAL depth test with
+clear depth 0.0 (vulkan_pipeline_presets.h:35-40), later-triangle wins depth
+ties.
 """
 from __future__ import annotations
 
@@ -35,32 +61,89 @@ import jax.numpy as jnp
 class VisibilityBuffer:
     tri_id: Any  # (H, W) int32, -1 = none
     depth: Any  # (H, W) f32 reverse-Z (0 = far/clear)
-    bary: Any  # (H, W, 2) f32 screen-space (lambda1, lambda2) of the winner
+    #: (H, W, 3) winner's raw plane values (l1, l2, l0+l1+l2); perspective-
+    #: correct barycentrics = l / sum (weights_from_bary)
+    bary: Any
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TriangleSetup:
-    """Screen-space triangle data. sx/sy in pixels, z = ndc depth, inv_w = 1/clip.w."""
+    """Homogeneous per-triangle rasterization data (module docstring)."""
 
-    sx: Any  # (T, 3)
+    #: (T, 12) affine screen planes [l0 A,B,C | l1 A,B,C | l2 A,B,C | z A,B,C]
+    #: where l_i(p) = lambda_i(p)/w(p) and z(p) = NDC depth; evaluate at pixel
+    #: centers (px + .5, py + .5)
+    planes: Any
+    sx: Any  # (T, 3) projected screen x (w-clamped; binning bboxes only)
     sy: Any  # (T, 3)
-    z: Any  # (T, 3)
-    inv_w: Any  # (T, 3)
-    valid: Any  # (T,) bool
+    w_ok: Any  # (T,) all clip w > eps: sx/sy bbox is trustworthy
+    front: Any  # (T,) front-facing (det < 0, the baked y-flip convention)
+    valid: Any  # (T,) non-degenerate
+
+
+def weights_from_bary(bary, eps: float = 1e-12):
+    """(…, 3) visibility-buffer bary -> perspective-correct vertex weights
+    (…, 3): lambda = (1 - l1/S - l2/S, l1/S, l2/S)."""
+    s = bary[..., 2]
+    inv = 1.0 / jnp.where(jnp.abs(s) > eps, s, 1.0)
+    l1 = bary[..., 0] * inv
+    l2 = bary[..., 1] * inv
+    return jnp.stack([1.0 - l1 - l2, l1, l2], axis=-1)
 
 
 def triangle_setup(clip, tri_vertex, width: int, height: int) -> TriangleSetup:
     """clip: (V, 4) clip-space vertices; tri_vertex: (T, 3) vertex ids."""
     v = clip[tri_vertex]  # (T, 3, 4)
-    w = v[..., 3]
-    valid = jnp.all(w > 1e-6, axis=-1)
-    safe_w = jnp.where(w > 1e-6, w, 1.0)
-    inv_w = 1.0 / safe_w
-    ndc = v[..., :3] * inv_w[..., None]
-    sx = (ndc[..., 0] * 0.5 + 0.5) * width
-    sy = (ndc[..., 1] * 0.5 + 0.5) * height
-    return TriangleSetup(sx=sx, sy=sy, z=ndc[..., 2], inv_w=inv_w, valid=valid)
+    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    X = (0.5 * x + 0.5 * w) * width  # homogeneous screen coords
+    Y = (0.5 * y + 0.5 * w) * height
+    w_ok = jnp.all(w > 1e-6, axis=-1)
+    safe_w = jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
+    sx = X / safe_w
+    sy = Y / safe_w
+
+    # conditioning: build the planes in centroid-centered screen coordinates
+    # (adjugate entries are then products of triangle-sized, not screen-sized,
+    # values), and fold the translation back into the constant term.
+    cx = jnp.where(w_ok, jnp.mean(sx, axis=-1), 0.0)
+    cy = jnp.where(w_ok, jnp.mean(sy, axis=-1), 0.0)
+    Xc = X - cx[:, None] * w
+    Yc = Y - cy[:, None] * w
+
+    def cross_rows(j, k):
+        a = jnp.stack([Xc[:, j], Yc[:, j], w[:, j]], axis=-1)
+        b = jnp.stack([Xc[:, k], Yc[:, k], w[:, k]], axis=-1)
+        return jnp.cross(a, b)  # (T, 3)
+
+    adj0 = cross_rows(1, 2)
+    adj1 = cross_rows(2, 0)
+    adj2 = cross_rows(0, 1)
+    det = Xc[:, 0] * adj0[:, 0] + Yc[:, 0] * adj0[:, 1] + w[:, 0] * adj0[:, 2]
+    valid = jnp.abs(det) > 1e-18
+    inv_det = 1.0 / jnp.where(valid, det, 1.0)
+
+    def plane(adj):
+        a = adj[:, 0] * inv_det
+        b = adj[:, 1] * inv_det
+        c = adj[:, 2] * inv_det - a * cx - b * cy  # un-center
+        return a, b, c
+
+    a0, b0, c0 = plane(adj0)
+    a1, b1, c1 = plane(adj1)
+    a2, b2, c2 = plane(adj2)
+    za = a0 * z[:, 0] + a1 * z[:, 1] + a2 * z[:, 2]
+    zb = b0 * z[:, 0] + b1 * z[:, 1] + b2 * z[:, 2]
+    zc = c0 * z[:, 0] + c1 * z[:, 1] + c2 * z[:, 2]
+    planes = jnp.stack(
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, za, zb, zc], axis=-1
+    )
+    # poison invalid planes so they can never cover
+    planes = jnp.where(valid[:, None], planes, 0.0)
+    planes = planes.at[:, 2].set(jnp.where(valid, planes[:, 2], -1.0))
+    return TriangleSetup(
+        planes=planes, sx=sx, sy=sy, w_ok=w_ok, front=det < 0, valid=valid
+    )
 
 
 def _pad_to_multiple(arr, chunk, fill):
@@ -74,7 +157,8 @@ def _pad_to_multiple(arr, chunk, fill):
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "chunk", "cull_backface", "frag_mask_fn"),
+    static_argnames=("width", "height", "chunk", "cull_backface", "frag_mask_fn",
+                     "depth_compare", "depth_clear"),
 )
 def rasterize(
     setup: TriangleSetup,
@@ -83,78 +167,82 @@ def rasterize(
     chunk: int = 64,
     cull_backface: bool = True,
     frag_mask_fn: Callable | None = None,
+    depth_compare: str = "greater_equal",
+    depth_clear: float = 0.0,
 ) -> VisibilityBuffer:
     """Rasterize all triangles; returns the visibility buffer.
 
-    frag_mask_fn(tri_ids (C,), lam (C, H, W, 3)) -> (C, H, W) bool: optional
-    per-fragment kill mask evaluated *during* rasterization -- the alpha-mask discard
-    of gbuf.frag:27-32 (a discarded fragment exposes geometry behind it, so it cannot
-    be done at resolve time).
+    frag_mask_fn(tri_ids (C,), wts (C, H, W, 3)) -> (C, H, W) bool: optional
+    per-fragment kill mask with perspective-correct vertex weights -- the
+    alpha-mask discard of gbuf.frag:27-32 (a discarded fragment exposes
+    geometry behind it, so it cannot be done at resolve time).
     """
-    t_total = setup.sx.shape[0]
-    sx = _pad_to_multiple(setup.sx, chunk, 0.0)
-    sy = _pad_to_multiple(setup.sy, chunk, 0.0)
-    zz = _pad_to_multiple(setup.z, chunk, 0.0)
-    iw = _pad_to_multiple(setup.inv_w, chunk, 1.0)
-    vv = _pad_to_multiple(setup.valid, chunk, False)
-    n_chunks = sx.shape[0] // chunk
+    t_total = setup.planes.shape[0]
+    pl = _pad_to_multiple(setup.planes, chunk, 0.0)
+    keep = setup.valid & (setup.front if cull_backface else True)
+    vv = _pad_to_multiple(keep, chunk, False)
+    n_chunks = pl.shape[0] // chunk
 
     px = jnp.arange(width, dtype=jnp.float32)[None, None, :] + 0.5
     py = jnp.arange(height, dtype=jnp.float32)[None, :, None] + 0.5
 
     def body(carry, c):
-        best_z, best_tri, best_b1, best_b2 = carry
+        best_z, best_tri, best_b1, best_b2, best_s = carry
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, axis=0)
-        x, y, z, w_inv, val = sl(sx), sl(sy), sl(zz), sl(iw), sl(vv)
+        p, val = sl(pl), sl(vv)
         tri_ids = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
 
-        x0, x1, x2 = x[:, 0, None, None], x[:, 1, None, None], x[:, 2, None, None]
-        y0, y1, y2 = y[:, 0, None, None], y[:, 1, None, None], y[:, 2, None, None]
-        area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (C,1,1)
+        def ev(k):
+            return (
+                p[:, k, None, None] * px
+                + p[:, k + 1, None, None] * py
+                + p[:, k + 2, None, None]
+            )
 
-        if cull_backface:
-            # Front face after the baked y-flip = negative signed area
-            # (pipeline.cpp:170-173: offscreen passes use CLOCKWISE front face).
-            front = area2 < 0
-        else:
-            front = jnp.abs(area2) > 1e-12
-
-        inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
-        # Edge functions opposite each vertex -> barycentrics after / area.
-        e0 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        e1 = (x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)
-        e2 = (x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)
-        l0 = e0 * inv_area
-        l1 = e1 * inv_area
-        l2 = e2 * inv_area
+        l0 = ev(0)
+        l1 = ev(3)
+        l2 = ev(6)
+        z_px = ev(9)
         inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
-        z_px = l0 * z[:, 0, None, None] + l1 * z[:, 1, None, None] + l2 * z[:, 2, None, None]
         inside &= (z_px >= 0.0) & (z_px <= 1.0)
-        inside &= front & val[:, None, None] & (tri_ids < t_total)[:, None, None]
+        inside &= val[:, None, None] & (tri_ids < t_total)[:, None, None]
 
         if frag_mask_fn is not None:
-            lam = jnp.stack([l0, l1, l2], axis=-1)
-            inside &= frag_mask_fn(tri_ids, lam, w_inv)
+            s = l0 + l1 + l2
+            inv = 1.0 / jnp.where(jnp.abs(s) > 1e-12, s, 1.0)
+            wts = jnp.stack([l0 * inv, l1 * inv, l2 * inv], axis=-1)
+            inside &= frag_mask_fn(tri_ids, wts)
 
-        # Reverse-Z: larger depth wins; later triangle wins ties (GREATER_OR_EQUAL).
-        # Merge triangles in submission order with static slices -- argmax +
-        # take_along_axis compiles to gathers, which are pathologically slow on
-        # TPU (hundreds of ms per full-frame chunk).
+        # Depth compare per config.raster_state (the reference presets:
+        # reverse-Z GREATER_OR_EQUAL everywhere, vulkan_pipeline_presets.h:40).
+        # Later triangle wins ties.  Merge in submission order with static
+        # slices -- argmax + take_along_axis compiles to gathers, which are
+        # pathologically slow on TPU.
         for j in range(chunk):
-            better = inside[j] & (z_px[j] >= best_z)
+            if depth_compare == "greater_equal":
+                passes = z_px[j] >= best_z
+            elif depth_compare == "less_equal":
+                passes = z_px[j] <= best_z
+            elif depth_compare == "always":
+                passes = jnp.ones_like(best_z, bool)
+            else:
+                raise ValueError(f"unknown depth_compare {depth_compare!r}")
+            better = inside[j] & passes
             best_z = jnp.where(better, z_px[j], best_z)
             best_tri = jnp.where(better, tri_ids[j], best_tri)
             best_b1 = jnp.where(better, l1[j], best_b1)
             best_b2 = jnp.where(better, l2[j], best_b2)
-        return (best_z, best_tri, best_b1, best_b2), None
+            best_s = jnp.where(better, l0[j] + l1[j] + l2[j], best_s)
+        return (best_z, best_tri, best_b1, best_b2, best_s), None
 
     init = (
-        jnp.zeros((height, width), jnp.float32),
+        jnp.full((height, width), depth_clear, jnp.float32),
         jnp.full((height, width), -1, jnp.int32),
         jnp.zeros((height, width), jnp.float32),
         jnp.zeros((height, width), jnp.float32),
+        jnp.ones((height, width), jnp.float32),
     )
-    (bz, bt, b1, b2), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    (bz, bt, b1, b2, bs), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     return VisibilityBuffer(
-        tri_id=bt, depth=bz, bary=jnp.stack([b1, b2], axis=-1)
+        tri_id=bt, depth=bz, bary=jnp.stack([b1, b2, bs], axis=-1)
     )

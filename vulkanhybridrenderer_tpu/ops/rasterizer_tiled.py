@@ -6,15 +6,18 @@ against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
 60 FPS.  This module implements the classic GPU binned approach, TPU-first:
 
   1. `bin_triangles` (pure jnp, fully vectorized): per-triangle screen bbox ->
-     covered tile range; triangles spanning <= `expand_cap` tiles emit one entry per
-     covered tile into a fixed (T * expand_cap) entry table (padding entries sort to
-     a sentinel tile); triangles spanning more tiles go to a small "big" list that
-     every tile tests (walls/floors).  A single stable argsort by tile id + a
-     searchsorted + an aligned re-pack yields CHUNK-aligned per-tile entry ranges --
-     no atomics (the GPU version's per-bin atomic counters don't exist on TPU;
-     sorting is the idiomatic replacement).  Entries are stored as *plane
-     equations*: barycentrics and depth are affine in screen space, so each
-     triangle becomes 13 coefficients [lam0|lam1|lam2|z as A*px+B*py+C, tri_id].
+     covered tile range; triangles spanning <= `expand_cap` tiles emit one entry
+     per covered tile into a fixed (T * expand_cap) entry table (padding entries
+     sort to a sentinel tile); larger spans go through two COMPACTED medium
+     tiers (span <= 64 / <= 256 tile entries from capped side lists) and spans
+     beyond MED2_SPAN to a small "big" list that every tile tests.  A single
+     stable argsort by tile id + a searchsorted + an aligned re-pack yields
+     CHUNK-aligned per-tile entry ranges -- no atomics (the GPU version's
+     per-bin atomic counters don't exist on TPU; sorting is the idiomatic
+     replacement).  Entries are the HOMOGENEOUS plane equations of
+     ops/rasterizer.triangle_setup (lambda_i/w and ndc-z are affine in screen
+     space): 13 coefficients [l0|l1|l2|z as A*px+B*py+C, tri_id], gathered as
+     one row per entry from a per-triangle plane table.
 
   2. `rasterize_binned`: a Pallas kernel, grid = one program per pixel tile.
      Per-tile entry ranges arrive via PrefetchScalarGridSpec; chunks of CHUNK
@@ -24,10 +27,10 @@ against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
 
          lam_k = P @ C_k   (pixels, CHUNK)  for k = 0,1,2;   z = P @ C_z
 
-     coverage = all lam_k >= 0, then two lane reductions extract the max-depth
-     winner (and its tri id / barycentrics) per pixel.  No per-triangle scalar
-     reads -- the original scalar-broadcast formulation stalled ~1000 cycles per
-     triangle on VMEM scalar loads; the matmul form does 128 triangles at once.
+     coverage = all lam_k >= 0 plus the reverse-Z depth-range test (which, in
+     the homogeneous formulation, IS the near/behind-camera clip), then lane
+     reductions extract the max-depth winner (tri id, l1, l2, and the 1/w sum
+     for perspective-correct weights) per pixel.
 
 Alpha-masked geometry is *excluded* from the binned pass (its per-fragment texture
 kill needs atlas gathers) and rasterized by the caller via the reference path over
@@ -56,6 +59,8 @@ TILE_W = 128
 CHUNK = 128  # triangles per DMA chunk (lane count of a plane-coefficient block)
 TILES_PER_PROG = 128  # tiles (columns) per grid program
 GROUP = 8  # entry blocks fetched per DMA (amortizes DMA latency)
+MED1_SPAN = 64  # tile-span ceiling of the first compacted medium tier
+MED2_SPAN = 256  # ... second tier; span > MED2_SPAN goes to the global big list
 
 # rows of the packed plane SoA (16, CHUNK):
 # 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
@@ -72,53 +77,37 @@ class Bins:
     chunk_tile: Any  # (nblocks,) int32 owning tile of each 128-entry block
     big_data: Any  # (16, CHUNK) f32 plane rows of the "big" triangles
     num_big: Any  # () int32
+    #: (3,) int32 excess of [medium-tier-1, medium-tier-2, big] candidates over
+    #: their static caps.  Nonzero = triangles were dropped; the renderer
+    #: validates this is all-zero at scene load (Renderer._validate_binning).
+    overflow: Any = None
 
 
 def _tile_counts(width: int, height: int, tile_h: int, tile_w: int):
     return math.ceil(width / tile_w), math.ceil(height / tile_h)
 
 
-def _pack_planes(setup: TriangleSetup, tri_ids, valid=None):
-    """Gather + convert triangles to plane-coefficient rows -> (16, K) f32.
+def _plane_table(setup: TriangleSetup):
+    """Per-TRIANGLE plane-coefficient table (T + 1, 16) f32 from the setup's
+    homogeneous planes (ops/rasterizer.triangle_setup), plus the float id in
+    col 12.  Row T is a poison row (l0 == -1 everywhere: never covers) used for
+    padding entries.  Entry packing costs ONE row gather per entry — gather
+    cost on TPU is per-index regardless of row width (docs/PERF_STATUS.md)."""
+    t = setup.planes.shape[0]
+    ids = jnp.arange(t, dtype=jnp.float32)
+    tab = jnp.zeros((t + 1, _NFIELDS), jnp.float32)
+    tab = tab.at[:t, 0:12].set(setup.planes)
+    tab = tab.at[:t, 12].set(ids)
+    tab = tab.at[t, 2].set(-1.0)  # poison: l0 == -1 everywhere
+    return tab
 
-    All gathers are flat 1-D (per column): XLA TPU lowers (T, 3)[ids] row gathers
-    ~300x slower than 1-D gathers (measured 76 ms vs 9 x 0.3 ms at 2M entries)."""
-    x0 = setup.sx[:, 0][tri_ids]
-    x1 = setup.sx[:, 1][tri_ids]
-    x2 = setup.sx[:, 2][tri_ids]
-    y0 = setup.sy[:, 0][tri_ids]
-    y1 = setup.sy[:, 1][tri_ids]
-    y2 = setup.sy[:, 2][tri_ids]
-    z = jnp.stack(
-        [setup.z[:, 0][tri_ids], setup.z[:, 1][tri_ids], setup.z[:, 2][tri_ids]],
-        axis=1,
-    )
-    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = 1.0 / jnp.where(jnp.abs(area2) > 1e-12, area2, 1.0)
 
-    def edge(xa, ya, xb, yb):
-        # e(p) = (xb-xa)*(py-ya) - (yb-ya)*(px-xa), normalized by area
-        a = -(yb - ya) * inv_area
-        b = (xb - xa) * inv_area
-        c = ((yb - ya) * xa - (xb - xa) * ya) * inv_area
-        return a, b, c
-
-    a0, b0, c0 = edge(x1, y1, x2, y2)  # lam0: edge opposite vertex 0
-    a1, b1, c1 = edge(x2, y2, x0, y0)
-    a2, b2, c2 = edge(x0, y0, x1, y1)
-    za = a0 * z[:, 0] + a1 * z[:, 1] + a2 * z[:, 2]
-    zb = b0 * z[:, 0] + b1 * z[:, 1] + b2 * z[:, 2]
-    zc = c0 * z[:, 0] + c1 * z[:, 1] + c2 * z[:, 2]
-
-    rows = [a0, b0, c0, a1, b1, c1, a2, b2, c2, za, zb, zc,
-            tri_ids.astype(jnp.float32)]
-    if valid is not None:
-        # poison invalid/padding rows so they never produce coverage
-        rows = [jnp.where(valid, r, jnp.float32(0.0)) for r in rows[:12]] + [rows[12]]
-        rows[2] = jnp.where(valid, rows[2], -1.0)  # lam0 == -1 everywhere
-    k = tri_ids.shape[0]
-    pad = jnp.zeros((_NFIELDS - len(rows), k), jnp.float32)
-    return jnp.concatenate([jnp.stack(rows), pad], axis=0)
+def _pack_planes(setup: TriangleSetup, tri_ids, valid=None, table=None):
+    """Triangles -> plane-coefficient rows (16, K) f32 via the plane table."""
+    tab = _plane_table(setup) if table is None else table
+    t = setup.sx.shape[0]
+    safe = tri_ids if valid is None else jnp.where(valid, tri_ids, t)
+    return tab[safe].T
 
 
 def _blocks(packed):
@@ -149,21 +138,19 @@ def bin_triangles(
     t = setup.sx.shape[0]
 
     sx, sy = setup.sx, setup.sy
-    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
-    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
-    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
     alive = setup.valid
     if cull_backface:
-        alive &= area2 < 0  # front face after baked y-flip (see ops/rasterizer.py)
-    else:
-        alive &= jnp.abs(area2) > 1e-12
+        alive &= setup.front  # det < 0 (see ops/rasterizer.py)
     if exclude_mask is not None:
         alive &= ~exclude_mask
 
-    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
-    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
-    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
-    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    # Screen bboxes are only trustworthy when every vertex has w > 0; a
+    # triangle crossing the camera plane projects unboundedly and gets a
+    # conservative full-screen bbox (it lands in the big tier).
+    xmin = jnp.where(setup.w_ok, jnp.min(sx, axis=-1), 0.0)
+    xmax = jnp.where(setup.w_ok, jnp.max(sx, axis=-1), jnp.float32(width))
+    ymin = jnp.where(setup.w_ok, jnp.min(sy, axis=-1), 0.0)
+    ymax = jnp.where(setup.w_ok, jnp.max(sy, axis=-1), jnp.float32(height))
     alive &= (xmax > 0) & (xmin < width) & (ymax > 0) & (ymin < height)
 
     tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, ntx - 1)
@@ -174,7 +161,18 @@ def bin_triangles(
     hspan = ty1 - ty0 + 1
     span = wspan * hspan
     small = alive & (span <= expand_cap)
-    big = alive & (span > expand_cap)
+    # Medium triangles (span 17..MED2_SPAN) get real per-tile entries via
+    # COMPACTED side lists (a dense t x span_cap enumeration would be
+    # padding-dominated); only span > MED2_SPAN triangles fall to the global
+    # per-tile-tested "big" list.  Round 1 sent every span > 16 triangle to the
+    # 128-cap big list, silently DROPPING thousands of triangles at 1080p/4k
+    # shadow-map resolutions (measured: bistro 4096^2 pegged the cap with 15.7k
+    # candidates).  Overflow counts are reported in Bins for host validation.
+    med1 = alive & (span > expand_cap) & (span <= MED1_SPAN)
+    med2 = alive & (span > MED1_SPAN) & (span <= MED2_SPAN)
+    big = alive & (span > MED2_SPAN)
+    med1_cap = max(4096, t // 16)
+    med2_cap = max(512, t // 64)
 
     # ---- small-triangle entries: enumerate bbox tiles row-major ----------------
     k = jnp.arange(expand_cap, dtype=jnp.int32)[None, :]  # (1, E)
@@ -186,6 +184,25 @@ def bin_triangles(
     tri_flat = jnp.broadcast_to(
         jnp.arange(t, dtype=jnp.int32)[:, None], (t, expand_cap)
     ).reshape(-1)
+
+    def med_entries(mask, cap, span_cap):
+        """Compacted (cap, span_cap) tile enumeration of `mask` triangles."""
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=0)
+        n = jnp.sum(mask.astype(jnp.int32))
+        slot_ok = jnp.arange(cap) < n
+        kk = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
+        ws = wspan[idx][:, None]
+        tyk = ty0[idx][:, None] + kk // ws
+        txk = tx0[idx][:, None] + kk % ws
+        ok = slot_ok[:, None] & (kk < span[idx][:, None])
+        tiles = jnp.where(ok, tyk * ntx + txk, ntiles).astype(jnp.int32)
+        tris = jnp.broadcast_to(idx[:, None].astype(jnp.int32), tiles.shape)
+        return tiles.reshape(-1), tris.reshape(-1), n
+
+    m1_tiles, m1_tris, n_med1 = med_entries(med1, med1_cap, MED1_SPAN)
+    m2_tiles, m2_tris, n_med2 = med_entries(med2, med2_cap, MED2_SPAN)
+    tile_flat = jnp.concatenate([tile_flat, m1_tiles, m2_tiles])
+    tri_flat = jnp.concatenate([tri_flat, m1_tris, m2_tris])
 
     order = jnp.argsort(tile_flat, stable=True)
     tile_sorted = tile_flat[order]
@@ -201,7 +218,9 @@ def bin_triangles(
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
     )
-    e_total = t * expand_cap
+    e_total = t * expand_cap + max(4096, t // 16) * MED1_SPAN + max(
+        512, t // 64
+    ) * MED2_SPAN
     # pad tile tables to a multiple of TILES_PER_PROG (padding tiles are empty)
     ntiles_pad = ((ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG) * TILES_PER_PROG
     if ntiles_pad != ntiles:
@@ -223,9 +242,17 @@ def bin_triangles(
         offsets[jnp.minimum(tile_sorted, ntiles - 1)] + rank,
         d_total,  # dumped into the trailing scratch slot
     )
-    tri_dense = jnp.zeros(d_total + 1, jnp.int32).at[dest].set(tri_sorted)[:-1]
-    dense_valid = jnp.zeros(d_total + 1, bool).at[dest].set(valid_entry)[:-1]
-    entry_data = _blocks(_pack_planes(setup, tri_dense, valid=dense_valid))
+    # one fused scatter: slot value = tri + 1, 0 = empty (avoids a second
+    # boolean-validity scatter; scatters at entry count cost ~15-25 ms each)
+    tri_plus = (
+        jnp.zeros(d_total + 1, jnp.int32)
+        .at[dest]
+        .set(jnp.where(valid_entry, tri_sorted + 1, 0))[:-1]
+    )
+    plane_tab = _plane_table(setup)  # (T + 1, 16), no gathers
+    safe_dense = jnp.where(tri_plus > 0, tri_plus - 1, t)
+    packed = plane_tab[safe_dense]  # ONE row gather for all entries
+    entry_data = packed.reshape(d_total // CHUNK, CHUNK, _NFIELDS).transpose(0, 2, 1)
 
     # ---- chunk -> tile ownership table (drives the flat stream loop) ------------
     nblocks = d_total // CHUNK
@@ -241,8 +268,13 @@ def bin_triangles(
     num_big = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
     big_ids = jnp.pad(big_idx.astype(jnp.int32), (0, CHUNK - big_cap))
     big_valid = jnp.arange(CHUNK) < num_big
-    big_data = _pack_planes(setup, big_ids, valid=big_valid)
+    big_data = _pack_planes(setup, big_ids, valid=big_valid, table=plane_tab)
 
+    overflow = jnp.stack([
+        jnp.maximum(n_med1 - med1_cap, 0),
+        jnp.maximum(n_med2 - med2_cap, 0),
+        jnp.maximum(jnp.sum(big.astype(jnp.int32)) - big_cap, 0),
+    ])
     return Bins(
         entry_data=entry_data,
         offsets=offsets_pad,
@@ -250,6 +282,7 @@ def bin_triangles(
         chunk_tile=chunk_tile,
         big_data=big_data,
         num_big=num_big,
+        overflow=overflow,
     )
 
 
@@ -267,6 +300,7 @@ def _raster_kernel(
     tri_out,
     b1_out,
     b2_out,
+    bs_out,
     # scratch
     chunk_vmem,  # (2, GROUP, 16, CHUNK) DMA landing buffers
     sem,  # DMA semaphores (2,)
@@ -311,7 +345,7 @@ def _raster_kernel(
     def tile_update(planes, col, n_valid, pxg, pyg, blocks):
         """Depth-test `planes` (16, CHUNK) against one tile; merge the winner into
         column `col` of the (npx, TILES_PER_PROG) accumulators."""
-        bz, bt, bb1, bb2 = blocks
+        bz, bt, bb1, bb2, bbs = blocks
 
         def plane(kk):
             return (
@@ -342,6 +376,10 @@ def _raster_kernel(
         l2b = jnp.max(
             jnp.where(w2, lam2, -jnp.float32(3.4e38)), axis=1, keepdims=True
         )
+        lsb = jnp.max(
+            jnp.where(w2, lam0 + lam1 + lam2, -jnp.float32(3.4e38)),
+            axis=1, keepdims=True,
+        )
 
         # reverse-Z >= merge: later chunks of the same tile keep improving
         better = (colid == col) & (zb > -0.5) & (tb >= 0.0) & (zb >= bz)
@@ -350,6 +388,7 @@ def _raster_kernel(
             jnp.where(better, tb, bt),
             jnp.where(better, l1b, bb1),
             jnp.where(better, l2b, bb2),
+            jnp.where(better, lsb, bbs),
         )
 
     def get_dma(slot, g):
@@ -393,6 +432,7 @@ def _raster_kernel(
         jnp.full((npx, TILES_PER_PROG), -1.0, jnp.float32),
         jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
         jnp.zeros((npx, TILES_PER_PROG), jnp.float32),
+        jnp.ones((npx, TILES_PER_PROG), jnp.float32),
     )
     blocks = jax.lax.fori_loop(0, ngroups, group_body, blocks0)
 
@@ -413,11 +453,12 @@ def _raster_kernel(
         blocks,
     )
 
-    bz, bt, bb1, bb2 = blocks
+    bz, bt, bb1, bb2, bbs = blocks
     depth_out[...] = bz
     tri_out[...] = bt.astype(jnp.int32)
     b1_out[...] = bb1
     b2_out[...] = bb2
+    bs_out[...] = bbs
 
 
 @functools.partial(
@@ -454,7 +495,7 @@ def rasterize_binned(
                 memory_space=pltpu.VMEM,
             )
         ]
-        * 4,
+        * 5,
         scratch_shapes=[
             pltpu.VMEM((2, GROUP, _NFIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -464,12 +505,13 @@ def rasterize_binned(
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx, ntiles=ntiles
     )
-    depth, tri_f, b1, b2 = pl.pallas_call(
+    depth, tri_f, b1, b2, bs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
             jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.int32),
+            jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
             jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
             jax.ShapeDtypeStruct((npx, ntiles_pad), jnp.float32),
         ],
@@ -499,7 +541,7 @@ def rasterize_binned(
     return VisibilityBuffer(
         tri_id=untile(tri_f),
         depth=untile(depth),
-        bary=jnp.stack([untile(b1), untile(b2)], axis=-1),
+        bary=jnp.stack([untile(b1), untile(b2), untile(bs)], axis=-1),
     )
 
 
@@ -509,8 +551,8 @@ def _subset_brute(setup, idx, valid_count, width, height, chunk, frag_mask_fn=No
     from vulkanhybridrenderer_tpu.ops import rasterizer as _raster
 
     sub = TriangleSetup(
-        sx=setup.sx[idx], sy=setup.sy[idx], z=setup.z[idx],
-        inv_w=setup.inv_w[idx],
+        planes=setup.planes[idx], sx=setup.sx[idx], sy=setup.sy[idx],
+        w_ok=setup.w_ok[idx], front=setup.front[idx],
         valid=setup.valid[idx]
         & (jnp.arange(idx.shape[0]) < valid_count if valid_count is not None else True),
     )
@@ -534,6 +576,7 @@ def rasterize_scene(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     alpha: bool = True,
+    cull_backface: bool = True,
 ) -> VisibilityBuffer:
     """Full-scene visibility buffer via the binned Pallas kernel.
 
@@ -570,7 +613,7 @@ def rasterize_scene(
 
     bins = bin_triangles(
         setup, width, height, tile_h=tile_h, tile_w=tile_w,
-        exclude_mask=tri_masked,
+        exclude_mask=tri_masked, cull_backface=cull_backface,
     )
     vis = rasterize_binned(
         bins, width, height, tile_h=tile_h, tile_w=tile_w, interpret=interpret
@@ -580,8 +623,8 @@ def rasterize_scene(
         idx = scene.alpha_tri_idx
         base_mask = _gbuffer.make_alpha_frag_mask(scene, clip)
 
-        def local_mask(tri_local, lam, w_inv):
-            return base_mask(idx[tri_local], lam, w_inv)
+        def local_mask(tri_local, wts):
+            return base_mask(idx[tri_local], wts)
 
         # small chunk: the per-fragment alpha taps materialize (chunk, H, W, 4)
         # intermediates, so keep the scan step tiny at high resolutions

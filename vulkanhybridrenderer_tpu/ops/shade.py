@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import PerFrameData, SceneBuffers
 from vulkanhybridrenderer_tpu.ops import gbuffer as gbuf_ops
+from vulkanhybridrenderer_tpu.ops.rasterizer import weights_from_bary
 from vulkanhybridrenderer_tpu.utils.math3d import PI_INVERSE, normalize
 
 
@@ -29,8 +30,7 @@ def resolve_forward_attributes(scene: SceneBuffers, tables, tri_rows, vis):
     prim = tr["prim"]
     pm = shadetab.fetch_prim(tables.prim_rows, prim)
 
-    inv_w = 1.0 / jnp.maximum(tr["clip_w"], 1e-9)
-    wts = gbuf_ops.perspective_weights(vis.bary, inv_w)
+    wts = weights_from_bary(vis.bary)
     uv = shadetab.interpolate3(tr["uv0"], wts)
     n_obj = shadetab.interpolate3(tr["normal"], wts)
     tan_obj = shadetab.interpolate3(tr["tangent"], wts)

@@ -120,6 +120,75 @@ def load_checkpoint(path: str, renderer: Renderer) -> None:
     )
 
 
+def run_script(renderer: Renderer, script: str):
+    """Scripted interactive driving — the headless analogue of the reference's
+    ImGui loop switching render paths and settings LIVE mid-run
+    (user_interface.cpp:100-126 deferred path switch, renderer.cpp:159-181
+    rebuild; settings changes rebuild via RenderPath::Rebuild).  Compiled
+    variants are cached per (path, config) key, so switching back to a
+    previously-used mode reuses the jitted frame function (the reference
+    rebuilds pipelines from scratch — the cache is a TPU-side upgrade).
+
+    Commands (semicolon-separated):
+      frames N                         render N frames
+      path forward|hybrid|raytraced|rayquery
+      set shadows|ao|reflections|denoise|msaa|test_alpha = VALUE
+      camera w|a|s|d                   one fly-camera step (1/60 s)
+
+    Returns the last rendered frame (device array).
+    """
+    out = None
+    for raw in script.split(";"):
+        cmd = raw.strip().split()
+        if not cmd:
+            continue
+        op = cmd[0]
+        if op == "frames":
+            for _ in range(int(cmd[1])):
+                out = renderer.render_frame()
+        elif op == "path":
+            renderer.set_path(cmd[1])
+        elif op == "camera":
+            renderer.update_camera(1.0 / 60.0, keys=set(cmd[1:]))
+        elif op == "set":
+            cfg = renderer.config
+            hybrid = cfg.hybrid
+            forward = cfg.forward
+            raytraced = cfg.raytraced
+            for kv in cmd[1:]:
+                k, v = kv.split("=")
+                if k == "shadows":
+                    hybrid = dataclasses.replace(
+                        hybrid, shadow_mode=ShadowMode[v.upper()]
+                    )
+                elif k == "ao":
+                    hybrid = dataclasses.replace(
+                        hybrid, ao_mode=AmbientOcclusionMode[v.upper()]
+                    )
+                elif k == "reflections":
+                    hybrid = dataclasses.replace(
+                        hybrid, reflection_mode=ReflectionMode[v.upper()]
+                    )
+                elif k == "denoise":
+                    hybrid = dataclasses.replace(hybrid, denoise=v in ("1", "true"))
+                elif k == "msaa":
+                    forward = dataclasses.replace(forward, msaa_samples=int(v))
+                elif k == "test_alpha":
+                    raytraced = dataclasses.replace(
+                        raytraced, test_alpha=v in ("1", "true")
+                    )
+                else:
+                    raise ValueError(f"unknown setting {k!r}")
+            renderer.set_config(
+                dataclasses.replace(
+                    cfg, hybrid=hybrid, forward=forward, raytraced=raytraced
+                )
+            )
+        else:
+            raise ValueError(f"unknown script command {op!r}")
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="cornell",
@@ -151,12 +220,30 @@ def main(argv=None) -> int:
                     help="print the per-pass performance table")
     ap.add_argument("--save-checkpoint", default=None)
     ap.add_argument("--load-checkpoint", default=None)
+    ap.add_argument("--script", default=None,
+                    help="scripted interactive sequence, e.g. "
+                    "'frames 2; path forward; frames 1; "
+                    "set shadows=rasterized ao=ssao; frames 2' "
+                    "(the ImGui live-switch loop, headless)")
     args = ap.parse_args(argv)
 
     scene = load_any_scene(args.scene)
     renderer = Renderer(scene, config_from_args(args), path=args.path)
     if args.load_checkpoint:
         load_checkpoint(args.load_checkpoint, renderer)
+
+    if args.script:
+        t_start = time.perf_counter()
+        out = run_script(renderer, args.script)
+        wall = time.perf_counter() - t_start
+        print(f"script done in {wall*1e3:.1f} ms; "
+              f"{len(renderer._frame_fns)} compiled variant(s) cached")
+        if args.out:
+            from vulkanhybridrenderer_tpu.utils.image import save_png
+
+            save_png(args.out, np.asarray(out))
+            print(f"wrote {args.out}")
+        return 0
 
     t_start = time.perf_counter()
     for i in range(args.frames):

@@ -47,6 +47,7 @@ class Renderer:
         self.prim_transform = scene.buffers.prim_transform
         self._bvh = None
         self._shade_tables = None
+        self._binning_checked = False
 
     # -- path / config switching (renderer.cpp:159-181) ---------------------------
     def set_path(self, name: str):
@@ -142,11 +143,48 @@ class Renderer:
             "shade_tables": self._get_shade_tables(),
         }
 
+    def check_binning(self, pfd=None) -> None:
+        """Host-side validation that no triangles overflow the binned
+        rasterizer's static tier caps (Bins.overflow) for the current camera
+        and light views.  Called automatically on the first frame (one sync);
+        call again after large camera/scene changes if paranoid."""
+        if self.config.raster != "binned":
+            return
+        import numpy as np
+
+        from vulkanhybridrenderer_tpu.ops import geometry, rasterizer
+        from vulkanhybridrenderer_tpu.ops import rasterizer_tiled as rt
+
+        pfd = pfd if pfd is not None else self._make_pfd()
+        scene = self.scene.buffers
+        world = geometry.to_world(scene, self.prim_transform)
+        views = [
+            (pfd.camera_proj @ pfd.camera_view, self.config.width,
+             self.config.height),
+            (pfd.directional_light.projview, self.config.shadow_map_size,
+             self.config.shadow_map_size),
+        ]
+        for vp, w, h in views:
+            clip = geometry.to_clip(world.position, vp)
+            setup = rasterizer.triangle_setup(clip, scene.tri_vertex, w, h)
+            bins = rt.bin_triangles(setup, w, h)
+            ov = np.asarray(bins.overflow)
+            if (ov > 0).any():
+                raise RuntimeError(
+                    f"binned rasterizer tier overflow at {w}x{h}: "
+                    f"[med1, med2, big] excess = {ov.tolist()} — triangles "
+                    "would be dropped; raise the caps in "
+                    "ops/rasterizer_tiled.bin_triangles"
+                )
+
     # -- frame loop -----------------------------------------------------------------
     def render_frame(self, sync: bool = True):
         """Render one frame; returns the (4, H, W) linear RENDER_OUTPUT (device)."""
         fn, path = self._get_frame_fn()
         pfd = self._make_pfd()
+        if not self._binning_checked:
+            self._binning_checked = True
+            self.check_binning(pfd)
         t0 = time.perf_counter()
         out = fn(self._resources(pfd))
         if sync:
