@@ -38,7 +38,7 @@ class ForwardRasterPath(RenderPath):
             scene = res["scene"]
             pfd = res["pfd"]
             clip = res["Clip"]
-            vis = rasterize_for_path(scene, clip, w, h, cfg)
+            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"))
             attrs = shade.resolve_forward_attributes(
                 scene, res["shade_tables"], res["TriRows"], vis
             )

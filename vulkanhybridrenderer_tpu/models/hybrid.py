@@ -67,7 +67,7 @@ class HybridPath(RenderPath):
         def gbuffer_pass(res):
             scene = res["scene"]
             clip = res["Clip"]
-            vis = rasterize_for_path(scene, clip, w, h, cfg)
+            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"))
             gb = gbuffer.resolve_gbuffer(
                 scene, res["shade_tables"], res["TriRows"], vis, res["pfd"]
             )

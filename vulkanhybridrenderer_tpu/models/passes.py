@@ -7,11 +7,14 @@ from vulkanhybridrenderer_tpu.ops import gbuffer, geometry, rasterizer, shadowma
 from vulkanhybridrenderer_tpu.ops import rasterizer_tiled
 
 
-def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
+def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True,
+                       mesh=None):
     """Rasterizer dispatch per RenderConfig.raster ("binned" Pallas tile kernel vs
     "brute" reference scan), honoring config.raster_state
     (vulkan_pipeline_presets.h:35-78).  Both produce identical
-    VisibilityBuffers (tested)."""
+    VisibilityBuffers (tested).  With an active device mesh, rasterization
+    runs triangle-sharded with a sort-last composite over ICI
+    (parallel/mesh.rasterize_scene_sharded)."""
     alpha = alpha and config.alpha_raster != "off"
     rs = config.raster_state
     cull = rs.cull_mode == "back"
@@ -20,6 +23,15 @@ def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True):
             raise NotImplementedError(
                 "the binned kernel implements the reverse-Z greater_equal "
                 "preset; use config.raster='brute' for other depth states"
+            )
+        if mesh is not None and height % mesh.devices.size == 0:
+            from vulkanhybridrenderer_tpu.parallel.mesh import (
+                rasterize_scene_sharded,
+            )
+
+            return rasterize_scene_sharded(
+                scene, clip, width, height, mesh, alpha=alpha,
+                cull_backface=cull,
             )
         return rasterizer_tiled.rasterize_scene(
             scene, clip, width, height, alpha=alpha, cull_backface=cull
@@ -74,7 +86,8 @@ def add_shadow_map_pass(graph: RenderGraph, size: int, config=None, chunk: int =
         scene = res["scene"]
         if config is not None and config.raster == "binned":
             vis = rasterize_for_path(
-                scene, res["LightClip"], size, size, config, alpha=False
+                scene, res["LightClip"], size, size, config, alpha=False,
+                mesh=res.get("mesh"),
             )
             return {"Shadow Map": vis.depth}
         return {

@@ -36,7 +36,8 @@ class RayqueryPath(RenderPath):
             pfd = res["pfd"]
             clip = res["Clip"]
             # no alpha discard in the rayquery fragment shader (default.frag)
-            vis = rasterize_for_path(scene, clip, w, h, cfg, alpha=False)
+            vis = rasterize_for_path(scene, clip, w, h, cfg, alpha=False,
+                                     mesh=res.get("mesh"))
             attrs = shade.resolve_forward_attributes(
                 scene, res["shade_tables"], res["TriRows"], vis
             )
