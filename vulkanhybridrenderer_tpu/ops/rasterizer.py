@@ -75,9 +75,16 @@ class TriangleSetup:
     #: where l_i(p) = lambda_i(p)/w(p) and z(p) = NDC depth; evaluate at pixel
     #: centers (px + .5, py + .5)
     planes: Any
-    sx: Any  # (T, 3) projected screen x (w-clamped; binning bboxes only)
+    sx: Any  # (T, 3) projected screen x (w-clamped; debugging/tests)
     sy: Any  # (T, 3)
-    w_ok: Any  # (T,) all clip w > eps: sx/sy bbox is trustworthy
+    #: (T, 4) conservative screen bbox [xmin, ymin, xmax, ymax] of the VISIBLE
+    #: projection, correct for any clip-w signs (see triangle_setup) —
+    #: binning's tiling source
+    bbox: Any
+    #: (T,) any clip w > eps: a triangle with ALL vertices behind the camera
+    #: can never pass the 0 <= z <= 1 depth-range test (its "phantom"
+    #: projection region has 1/w < 0), so binning culls it outright
+    w_any: Any
     front: Any  # (T,) front-facing (det < 0, the baked y-flip convention)
     valid: Any  # (T,) non-degenerate
 
@@ -99,6 +106,7 @@ def triangle_setup(clip, tri_vertex, width: int, height: int) -> TriangleSetup:
     X = (0.5 * x + 0.5 * w) * width  # homogeneous screen coords
     Y = (0.5 * y + 0.5 * w) * height
     w_ok = jnp.all(w > 1e-6, axis=-1)
+    w_any = jnp.any(w > 1e-6, axis=-1)
     safe_w = jnp.where(jnp.abs(w) > 1e-6, w, 1e-6)
     sx = X / safe_w
     sy = Y / safe_w
@@ -141,8 +149,32 @@ def triangle_setup(clip, tri_vertex, width: int, height: int) -> TriangleSetup:
     # poison invalid planes so they can never cover
     planes = jnp.where(valid[:, None], planes, 0.0)
     planes = planes.at[:, 2].set(jnp.where(valid, planes[:, 2], -1.0))
+    # Conservative screen bbox, valid for any w signs: hull of the projected
+    # w > eps vertices plus, for edges crossing w = eps, the projection of the
+    # crossing point (as w -> 0+ the visible region extends toward that
+    # point's direction; projecting AT w = eps bounds it conservatively).
+    # Fully-behind triangles (no w > eps) get an empty bbox.
+    eps = 1e-6
+    big = jnp.float32(3.0e38)
+    in_front = w > eps
+    bxmin = jnp.min(jnp.where(in_front, sx, big), axis=-1)
+    bxmax = jnp.max(jnp.where(in_front, sx, -big), axis=-1)
+    bymin = jnp.min(jnp.where(in_front, sy, big), axis=-1)
+    bymax = jnp.max(jnp.where(in_front, sy, -big), axis=-1)
+    for i, j in ((0, 1), (1, 2), (2, 0)):
+        crosses = in_front[:, i] ^ in_front[:, j]
+        dw = w[:, j] - w[:, i]
+        tt = (eps - w[:, i]) / jnp.where(jnp.abs(dw) > 1e-20, dw, 1.0)
+        cxp = (X[:, i] + tt * (X[:, j] - X[:, i])) / eps
+        cyp = (Y[:, i] + tt * (Y[:, j] - Y[:, i])) / eps
+        bxmin = jnp.where(crosses, jnp.minimum(bxmin, cxp), bxmin)
+        bxmax = jnp.where(crosses, jnp.maximum(bxmax, cxp), bxmax)
+        bymin = jnp.where(crosses, jnp.minimum(bymin, cyp), bymin)
+        bymax = jnp.where(crosses, jnp.maximum(bymax, cyp), bymax)
+    bbox = jnp.stack([bxmin, bymin, bxmax, bymax], axis=-1)
     return TriangleSetup(
-        planes=planes, sx=sx, sy=sy, w_ok=w_ok, front=det < 0, valid=valid
+        planes=planes, sx=sx, sy=sy, bbox=bbox, w_any=w_any, front=det < 0,
+        valid=valid,
     )
 
 

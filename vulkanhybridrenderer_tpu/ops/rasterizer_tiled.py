@@ -138,19 +138,16 @@ def bin_triangles(
     t = setup.sx.shape[0]
 
     sx, sy = setup.sx, setup.sy
-    alive = setup.valid
+    alive = setup.valid & setup.w_any  # fully-behind-camera: never visible
     if cull_backface:
         alive &= setup.front  # det < 0 (see ops/rasterizer.py)
     if exclude_mask is not None:
         alive &= ~exclude_mask
 
-    # Screen bboxes are only trustworthy when every vertex has w > 0; a
-    # triangle crossing the camera plane projects unboundedly and gets a
-    # conservative full-screen bbox (it lands in the big tier).
-    xmin = jnp.where(setup.w_ok, jnp.min(sx, axis=-1), 0.0)
-    xmax = jnp.where(setup.w_ok, jnp.max(sx, axis=-1), jnp.float32(width))
-    ymin = jnp.where(setup.w_ok, jnp.min(sy, axis=-1), 0.0)
-    ymax = jnp.where(setup.w_ok, jnp.max(sy, axis=-1), jnp.float32(height))
+    # setup.bbox is the conservative VISIBLE-projection bbox, correct for
+    # triangles crossing the camera plane (ops/rasterizer.triangle_setup).
+    xmin, ymin = setup.bbox[:, 0], setup.bbox[:, 1]
+    xmax, ymax = setup.bbox[:, 2], setup.bbox[:, 3]
     alive &= (xmax > 0) & (xmin < width) & (ymax > 0) & (ymin < height)
 
     tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, ntx - 1)
@@ -552,7 +549,7 @@ def _subset_brute(setup, idx, valid_count, width, height, chunk, frag_mask_fn=No
 
     sub = TriangleSetup(
         planes=setup.planes[idx], sx=setup.sx[idx], sy=setup.sy[idx],
-        w_ok=setup.w_ok[idx], front=setup.front[idx],
+        bbox=setup.bbox[idx], w_any=setup.w_any[idx], front=setup.front[idx],
         valid=setup.valid[idx]
         & (jnp.arange(idx.shape[0]) < valid_count if valid_count is not None else True),
     )

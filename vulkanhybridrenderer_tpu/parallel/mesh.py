@@ -130,16 +130,17 @@ def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
         )
         setup = _raster.TriangleSetup(
             planes=zf(setup.planes), sx=zf(setup.sx), sy=zf(setup.sy),
-            w_ok=zf(setup.w_ok), front=zf(setup.front),
+            bbox=zf(setup.bbox), w_any=zf(setup.w_any), front=zf(setup.front),
             valid=jnp.concatenate([setup.valid, jnp.zeros(pad, bool)]),
         )
         excl = jnp.concatenate([excl, jnp.zeros(pad, bool)])
 
     interpret = None  # auto-detect inside rasterize_binned via caller defaults
 
-    def shard_fn(planes, sx, sy, w_ok, front, valid, excl_l, tri_base):
+    def shard_fn(planes, sx, sy, bbox, w_any, front, valid, excl_l, tri_base):
         sub = _raster.TriangleSetup(
-            planes=planes, sx=sx, sy=sy, w_ok=w_ok, front=front, valid=valid
+            planes=planes, sx=sx, sy=sy, bbox=bbox, w_any=w_any, front=front,
+            valid=valid,
         )
         import jax as _jax
 
@@ -187,20 +188,18 @@ def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
     try:
         fn = shard(
             shard_fn,
-            in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS),
-                      P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+            in_specs=(P(ROW_AXIS),) * 9,
             out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
         )
     except TypeError:  # older jax: check_rep instead of check_vma
         fn = partial(shard_map, mesh=mesh, check_rep=False)(
             shard_fn,
-            in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS),
-                      P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
+            in_specs=(P(ROW_AXIS),) * 9,
             out_specs=(P(ROW_AXIS), P(ROW_AXIS), P(ROW_AXIS)),
         )
     depth, tri_id, bary = fn(
-        setup.planes, setup.sx, setup.sy, setup.w_ok, setup.front,
-        setup.valid, excl, tri_base,
+        setup.planes, setup.sx, setup.sy, setup.bbox, setup.w_any,
+        setup.front, setup.valid, excl, tri_base,
     )
     vis = _raster.VisibilityBuffer(tri_id=tri_id, depth=depth, bary=bary)
 
