@@ -82,3 +82,59 @@ def inbounds_mask(height: int, width: int, dy: int, dx: int):
     yy = jnp.arange(height)[:, None] + dy
     xx = jnp.arange(width)[None, :] + dx
     return ((yy >= 0) & (yy < height)) & ((xx >= 0) & (xx < width))
+
+
+def _edge_shift(img, dy: int, dx: int):
+    """shifted() with edge replication (clamp-to-edge neighborhoods)."""
+    h, w = img.shape[-2:]
+    p = jnp.pad(
+        img,
+        [(0, 0)] * (img.ndim - 2) + [(0, max(0, dy)), (0, max(0, dx))],
+        mode="edge",
+    )
+    sl = [slice(None)] * (img.ndim - 2) + [slice(dy, dy + h), slice(dx, dx + w)]
+    return p[tuple(sl)]
+
+
+def quad2x2_rows(img):
+    """(H, W) -> (H*W, 4) rows [v(y,x), v(y,x+1), v(y+1,x), v(y+1,x+1)]
+    (edge-clamped), so one bilinear tap = ONE row gather (bilinear_quad).
+
+    Gather cost on TPU is per-index regardless of row width
+    (docs/PERF_STATUS.md); the per-channel formulation pays 4 indices per tap.
+    """
+    return jnp.stack(
+        [img, _edge_shift(img, 0, 1), _edge_shift(img, 1, 0),
+         _edge_shift(img, 1, 1)],
+        axis=-1,
+    ).reshape(-1, 4)
+
+
+def bilinear_quad(quad, h: int, w: int, uv):
+    """GLSL texture() with a linear clamp-to-edge sampler via quad2x2_rows:
+    ONE row gather per tap.  Bit-equivalent to bilinear_sample up to border
+    weight algebra (continuous coords are clamped first, which zeroes the
+    out-of-range lane weights)."""
+    x = jnp.clip(uv[..., 0] * w - 0.5, 0.0, w - 1.0)
+    y = jnp.clip(uv[..., 1] * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.minimum(x0.astype(jnp.int32), w - 1)
+    y0i = jnp.minimum(y0.astype(jnp.int32), h - 1)
+    c = quad[y0i * w + x0i]  # (..., 4)
+    top = c[..., 0] * (1 - fx) + c[..., 1] * fx
+    bot = c[..., 2] * (1 - fx) + c[..., 3] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def quad4_rows(img):
+    """(H, W) -> (H*W, 4) rows [v(y,x..x+3)] (edge-clamped): a 4-consecutive-
+    texel fetch is one row gather (used by the 16-tap PCF, whose 4x4 half-texel
+    grid spans at most 4 consecutive texels per axis)."""
+    return jnp.stack(
+        [img, _edge_shift(img, 0, 1), _edge_shift(img, 0, 2),
+         _edge_shift(img, 0, 3)],
+        axis=-1,
+    ).reshape(-1, 4)

@@ -55,13 +55,45 @@ def shadow_single_tap(shadow_map, light_projview, world_pos, bias: float = 0.003
 
 def shadow_pcf16(shadow_map, light_projview, world_pos, bias: float = 1e-4):
     """composition.frag:88-111: 16 taps on a 4x4 grid of half-texel offsets scaled by
-    1/4096 (the hard-coded scale in the reference), averaged."""
+    1/4096 (the hard-coded scale in the reference), averaged.
+
+    Tap fusion: the 4x4 grid spans at most 4 consecutive texels per axis (for
+    maps up to 4096^2), so the 16 nearest-taps are served by FOUR 4-wide row
+    gathers from an edge-clamped quad table + lane selects — gather cost on
+    TPU is per-index (docs/PERF_STATUS.md), so this is 4x fewer indices than
+    per-tap gathers."""
+    from vulkanhybridrenderer_tpu.ops.filters import quad4_rows
+
     sc = shadow_coords(light_projview, world_pos)
-    scale = 1.0 / 4096.0
+    h, w = shadow_map.shape
+    offs = (-1.5, -0.5, 0.5, 1.5)
+    if w > 4096 or h > 4096:
+        # offsets span > 4 texels: per-tap gathers (exact original path)
+        scale = 1.0 / 4096.0
+        acc = 0.0
+        for oy in offs:
+            for ox in offs:
+                uv = sc[..., :2] + jnp.array([ox, oy], jnp.float32) * scale
+                d = _sample_nearest(shadow_map, uv)
+                acc = acc + jnp.where(sc[..., 2] < d - bias, 0.0, 1.0)
+        return acc / 16.0
+
+    quad = quad4_rows(shadow_map)
+    sx = w / 4096.0  # reference's hard-coded 1/4096 uv scale, in texels
+    sy = h / 4096.0
+    fx = sc[..., 0] * w
+    fy = sc[..., 1] * h
+    x0 = jnp.clip(jnp.floor(fx - 1.5 * sx).astype(jnp.int32), 0, w - 4)
+    lanes = jnp.arange(4, dtype=jnp.int32)
     acc = 0.0
-    for oy in (-1.5, -0.5, 0.5, 1.5):
-        for ox in (-1.5, -0.5, 0.5, 1.5):
-            uv = sc[..., :2] + jnp.array([ox, oy], jnp.float32) * scale
-            d = _sample_nearest(shadow_map, uv)
+    for oy in offs:
+        yj = jnp.clip((fy + oy * sy).astype(jnp.int32), 0, h - 1)
+        row = quad[yj * w + x0]  # (..., 4)
+        for ox in offs:
+            xi = jnp.clip((fx + ox * sx).astype(jnp.int32), 0, w - 1)
+            lane = jnp.clip(xi - x0, 0, 3)
+            d = jnp.sum(
+                jnp.where(lane[..., None] == lanes, row, 0.0), axis=-1
+            )
             acc = acc + jnp.where(sc[..., 2] < d - bias, 0.0, 1.0)
     return acc / 16.0

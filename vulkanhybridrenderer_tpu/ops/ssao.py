@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from vulkanhybridrenderer_tpu.core.types import PerFrameData
 from vulkanhybridrenderer_tpu.ops import screen
-from vulkanhybridrenderer_tpu.ops.filters import bilinear_sample, shifted
+from vulkanhybridrenderer_tpu.ops.filters import (bilinear_quad, quad2x2_rows,
+                                                  shifted)
 from vulkanhybridrenderer_tpu.utils import rng
 from vulkanhybridrenderer_tpu.utils.math3d import TWO_PI, transform_directions
 
@@ -41,7 +42,8 @@ def ssao(pfd: PerFrameData, depth, normal_oid, radius: float):
         [jnp.broadcast_to(xx, (h, w))[..., None], jnp.broadcast_to(yy, (h, w))[..., None]],
         axis=-1,
     )
-    d0 = bilinear_sample(depth, coords)
+    dq = quad2x2_rows(depth)  # one row gather per bilinear depth tap
+    d0 = bilinear_quad(dq, h, w, coords)
     p = screen.position_from_depth(d0, coords, pfd.camera_proj_inverse)
     n_world = normal_oid[:3].transpose(1, 2, 0)
     n = transform_directions(pfd.camera_view, n_world)
@@ -57,7 +59,7 @@ def ssao(pfd: PerFrameData, depth, normal_oid, radius: float):
         dist = r2 * perspective_radius
         offset = jnp.stack([jnp.cos(ang) * dist, jnp.sin(ang) * dist], axis=-1)
         suv = coords + offset
-        ds = bilinear_sample(depth, suv)
+        ds = bilinear_quad(dq, h, w, suv)
         ps = screen.position_from_depth(ds, suv, pfd.camera_proj_inverse)
         v = ps - p
         acc = acc + jnp.maximum(jnp.sum(v * n, axis=-1) - BETA, 0.0) / (
