@@ -323,7 +323,7 @@ def checker_quad(alpha_leaf=False) -> Scene:
 
 
 def sponza_proxy(columns=12, segments=48, extra_boxes=600, grid_res=128, seed=7,
-                 atlas_dtype=None) -> Scene:
+                 atlas_dtype=None, name="SponzaProxy") -> Scene:
     """Colonnade hall, the perf stand-in for Sponza (BASELINE.md configs).
 
     Default params yield ~200k triangles (real Sponza is ~262k): displaced-grid
@@ -409,7 +409,7 @@ def sponza_proxy(columns=12, segments=48, extra_boxes=600, grid_res=128, seed=7,
         position=np.array([-L / 2 + 1.5, 2.2, 0.0], np.float32),
     )
     light = make_directional_light([0.3, -0.85, 0.25], intensity=30.0)
-    return b.build("SponzaProxy", cam, light, atlas_dtype=atlas_dtype)
+    return b.build(name, cam, light, atlas_dtype=atlas_dtype)
 
 
 def bistro_proxy(atlas_dtype=None) -> Scene:
@@ -417,7 +417,7 @@ def bistro_proxy(atlas_dtype=None) -> Scene:
     dense colonnades + high-res displaced surfaces, ~700k triangles."""
     return sponza_proxy(
         columns=28, segments=96, extra_boxes=2400, grid_res=256, seed=11,
-        atlas_dtype=atlas_dtype,
+        atlas_dtype=atlas_dtype, name="BistroProxy",
     )
 
 
