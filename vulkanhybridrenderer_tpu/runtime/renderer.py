@@ -13,6 +13,7 @@ import time
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vulkanhybridrenderer_tpu.core.config import RenderConfig
@@ -26,6 +27,19 @@ from vulkanhybridrenderer_tpu.models.base import get_path
 from vulkanhybridrenderer_tpu.runtime import camera as cam_ctl
 from vulkanhybridrenderer_tpu.scene.gltf import Scene
 from vulkanhybridrenderer_tpu.utils.image import save_png
+
+
+@jax.jit
+def _encode_srgb8(planar):
+    """(4, H, W) linear -> (H, W, 4) uint8 sRGB, on device (the swapchain
+    format conversion the reference's present path does in hardware)."""
+    img = jnp.clip(planar.transpose(1, 2, 0), 0.0, 1.0)
+    rgb = img[..., :3]
+    srgb = jnp.where(
+        rgb <= 0.0031308, rgb * 12.92, 1.055 * rgb ** (1.0 / 2.4) - 0.055
+    )
+    out = jnp.concatenate([srgb, img[..., 3:4]], axis=-1)
+    return jnp.round(out * 255.0).astype(jnp.uint8)
 
 
 class Renderer:
@@ -178,8 +192,13 @@ class Renderer:
                 )
 
     # -- frame loop -----------------------------------------------------------------
-    def render_frame(self, sync: bool = True):
-        """Render one frame; returns the (4, H, W) linear RENDER_OUTPUT (device)."""
+
+    def render_frame(self, sync: bool = True, srgb8: bool = False):
+        """Render one frame; returns the (4, H, W) linear RENDER_OUTPUT (device).
+
+        srgb8=True instead returns the (H, W, 4) uint8 sRGB swapchain image
+        (the reference presents B8G8R8A8_SRGB, vulkan_context.cpp:309-369) --
+        encoded on-device, so host readback moves 4x fewer bytes."""
         fn, path = self._get_frame_fn()
         pfd = self._make_pfd()
         if not self._binning_checked:
@@ -193,6 +212,8 @@ class Renderer:
         if path.uses_temporal_state:
             self.temporal_state = out["TemporalStateOut"]
         self.frame_index += 1
+        if srgb8:
+            return _encode_srgb8(out[RENDER_OUTPUT])
         return out[RENDER_OUTPUT]
 
     def update_camera(self, dt, keys=frozenset(), mouse_delta=(0.0, 0.0),
