@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from vulkanhybridrenderer_tpu.core.types import PerFrameData
 from vulkanhybridrenderer_tpu.core.config import SSRSettings
 from vulkanhybridrenderer_tpu.ops import brdf, screen
-from vulkanhybridrenderer_tpu.ops.filters import bilinear_sample
+from vulkanhybridrenderer_tpu.ops.filters import (bilinear_quad, bilinear_sample,
+                                                  quad2x2_rows)
 from vulkanhybridrenderer_tpu.utils.math3d import PI_INVERSE, normalize, reflect, transform_points
 
 DELTA_MIN = 0.3  # ssr.comp:97
@@ -26,8 +27,10 @@ def _world_to_uv(pfd, pos):
     return (clip[..., :2] / clip[..., 3:4]) * 0.5 + 0.5
 
 
-def _dist_to_screen(pfd, depth, uv, cam):
-    d = bilinear_sample(depth, uv)
+def _dist_to_screen(pfd, depth_quad, hw, uv, cam):
+    # one quad-row gather per tap (the march samples depth every step;
+    # per-index gather cost model, docs/PERF_STATUS.md)
+    d = bilinear_quad(depth_quad, hw[0], hw[1], uv)
     p = screen.position_from_depth(d, uv, pfd.camera_viewproj_inverse)
     return jnp.linalg.norm(p - cam, axis=-1)
 
@@ -42,7 +45,8 @@ def ssr(pfd: PerFrameData, depth, normal_oid, albedo, motion_mr,
         [jnp.broadcast_to(xx, (h, w))[..., None], jnp.broadcast_to(yy, (h, w))[..., None]],
         axis=-1,
     )
-    frag_depth = bilinear_sample(depth, coords)
+    depth_quad = quad2x2_rows(depth)
+    frag_depth = bilinear_quad(depth_quad, h, w, coords)
     cam = pfd.camera_position
     p = screen.position_from_depth(frag_depth, coords, pfd.camera_viewproj_inverse)
     n = normal_oid[:3].transpose(1, 2, 0)
@@ -55,7 +59,7 @@ def ssr(pfd: PerFrameData, depth, normal_oid, albedo, motion_mr,
         ray_pos = p + r_dir * offset[..., None]
         dist_ray = jnp.linalg.norm(ray_pos - cam, axis=-1)
         suv = _world_to_uv(pfd, ray_pos)
-        dist_screen = _dist_to_screen(pfd, depth, suv, cam)
+        dist_screen = _dist_to_screen(pfd, depth_quad, (h, w), suv, cam)
         delta = dist_ray - dist_screen
         return (delta > DELTA_MIN) & (delta < settings.thickness), suv
 
@@ -94,7 +98,8 @@ def ssr(pfd: PerFrameData, depth, normal_oid, albedo, motion_mr,
     # ---- shade the hit sample (:28-59) -----------------------------------------------
     alb = bilinear_sample(albedo, final_uv)[..., :3]
     pos = screen.position_from_depth(
-        bilinear_sample(depth, final_uv), final_uv, pfd.camera_viewproj_inverse
+        bilinear_quad(depth_quad, h, w, final_uv), final_uv,
+        pfd.camera_viewproj_inverse,
     )
     mr = bilinear_sample(motion_mr, final_uv)[..., 2:4]
     nrm = bilinear_sample(normal_oid, final_uv)[..., :3]
