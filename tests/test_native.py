@@ -93,3 +93,31 @@ def test_sah_refit_after_move():
     rec = traverse.trace(b2, moved, o, d, 0.01, 1e4)
     rec_ref = traverse.trace(bvh_ops.build(moved), moved, o, d, 0.01, 1e4)
     np.testing.assert_array_equal(np.asarray(rec.tri), np.asarray(rec_ref.tri))
+
+
+def test_native_bvh8_collapse_matches_python():
+    """native/bvh8.cpp must reproduce the Python collapse BIT-IDENTICALLY
+    (same greedy expansion, FFD packing, slot probing, allocation order)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vulkanhybridrenderer_tpu import native_bridge
+    from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
+    from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+
+    if not native_bridge.native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    for n in (1, 9, 300, 2000):
+        base = rng.uniform(-10, 10, (n, 1, 3))
+        tris = jnp.asarray((base + rng.uniform(-0.5, 0.5, (n, 3, 3))).astype(np.float32))
+        binary = bvh_ops.build(tris, leaf_size=1)
+        py = bvh8_ops.build_bvh8_host(binary, tris, prefer_native=False)
+        nat = native_bridge.bvh8_collapse_host(binary, tris)
+        assert nat.depth == py.depth
+        np.testing.assert_array_equal(np.asarray(nat.rows), np.asarray(py.rows))
+        np.testing.assert_array_equal(np.asarray(nat.child8), np.asarray(py.child8))
+        np.testing.assert_array_equal(np.asarray(nat.valid8), np.asarray(py.valid8))
+        np.testing.assert_array_equal(np.asarray(nat.tri8), np.asarray(py.tri8))

@@ -42,6 +42,13 @@ def _load():
         lib.lbvh_refit.argtypes = [f32p, ctypes.c_int, i32p, i32p, i32p, f32p, f32p]
         lib.sah_build.restype = ctypes.c_int
         lib.sah_build.argtypes = [f32p, ctypes.c_int] + [i32p] * 5 + [f32p] * 2
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.bvh8_collapse.restype = ctypes.c_int
+        lib.bvh8_collapse.argtypes = [
+            f32p, ctypes.c_int, i32p, i32p, i32p, i32p, f32p, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, u8p, i32p, ctypes.c_int, i32p,
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -157,3 +164,50 @@ def build_sah_host(tri_verts):
         leaf_size=1,
     )
     return bvh_ops.with_octant_links(bvh)
+
+
+def bvh8_collapse_host(bvh, tri_verts):
+    """Native BVH8 collapse (native/bvh8.cpp) of a binary BVH pytree; bit-
+    identical to ops/bvh8.build_bvh8_host's Python collapse (tested).  Returns
+    None when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    import jax.numpy as jnp
+
+    from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
+
+    tris = np.ascontiguousarray(np.asarray(tri_verts, np.float32)).reshape(-1, 9)
+    left = np.ascontiguousarray(np.asarray(bvh.left, np.int32))
+    right = np.ascontiguousarray(np.asarray(bvh.right, np.int32))
+    leaf_tri = np.ascontiguousarray(np.asarray(bvh.leaf_tri, np.int32))
+    order = np.ascontiguousarray(np.asarray(bvh.order, np.int32))
+    amin = np.ascontiguousarray(np.asarray(bvh.aabb_min, np.float32))
+    amax = np.ascontiguousarray(np.asarray(bvh.aabb_max, np.float32))
+    total = left.shape[0]
+    t = tris.shape[0]
+    cap = 2 * max(t, 8) + 16
+    rows = np.zeros((cap, 128), np.float32)
+    child8 = np.zeros((cap, 8), np.int32)
+    valid8 = np.zeros((cap, 8), np.uint8)
+    tri8 = np.zeros((cap, 8), np.int32)
+    out = np.zeros(2, np.int32)
+    rc = lib.bvh8_collapse(
+        _f32p(tris), t, _i32p(left), _i32p(right), _i32p(leaf_tri),
+        _i32p(order), _f32p(amin), _f32p(amax), total, int(bvh.leaf_size),
+        int(bvh.root), _f32p(rows),
+        _i32p(child8), valid8.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+        _i32p(tri8), cap, _i32p(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"bvh8_collapse failed with code {rc}")
+    n_rows, depth = int(out[0]), int(out[1])
+    return bvh8_ops.BVH8(
+        rows=jnp.asarray(rows[:n_rows]),
+        child8=jnp.asarray(child8[:n_rows]),
+        valid8=jnp.asarray(valid8[:n_rows].astype(bool)),
+        tri8=jnp.asarray(tri8[:n_rows]),
+        depth=depth,
+    )

