@@ -82,18 +82,31 @@ def temporal(
     prev_n = state.prev_normal_oid[:3]
     prev_oid = state.prev_normal_oid[3]
 
-    def tap_valid(sy, sx):
-        inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-        p_oid = gather_2d(prev_oid, sy, sx)
-        same_obj = cur_oid.astype(jnp.int32) == p_oid.astype(jnp.int32)
-        pn = gather_2d(prev_n, sy, sx)  # (..., 3)
-        aligned = jnp.sum(cur_n.transpose(1, 2, 0) * pn, axis=-1) >= COS_PI_4
-        return inb & same_obj & aligned
+    # Fused history rows: every reprojection tap needs 10 channels (history
+    # shadow/ao, 4 moments, prev normal, prev oid); one (H*W, 10) row gather
+    # per tap instead of ~10 per-channel gathers (per-index gather cost,
+    # docs/PERF_STATUS.md) — the temporal kernel does 13 taps/pixel.
+    nhist = state.shadow_ao_history.shape[0]
+    packed = jnp.concatenate(
+        [state.shadow_ao_history, state.moments_history,
+         state.prev_normal_oid],
+        axis=0,
+    ).reshape(-1, h * w).T  # (H*W, nhist + 8)
+    cur_n_hwc = cur_n.transpose(1, 2, 0)
+    cur_oid_i = cur_oid.astype(jnp.int32)
 
-    def tap_values(sy, sx):
-        sh_ao = gather_2d(state.shadow_ao_history, sy, sx)  # (H, W, 2)
-        mom = gather_2d(state.moments_history, sy, sx)  # (H, W, 4)
-        return sh_ao, mom
+    def tap(sy, sx):
+        """One fused tap -> (valid, sh_ao (H,W,nhist), mom (H,W,4))."""
+        inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+        lin = jnp.clip(sy, 0, h - 1) * w + jnp.clip(sx, 0, w - 1)
+        row = packed[lin]  # (H, W, nhist + 8)
+        sh_ao = row[..., :nhist]
+        mom = row[..., nhist:nhist + 4]
+        pn = row[..., nhist + 4:nhist + 7]
+        p_oid = row[..., nhist + 7]
+        same_obj = cur_oid_i == p_oid.astype(jnp.int32)
+        aligned = jnp.sum(cur_n_hwc * pn, axis=-1) >= COS_PI_4
+        return inb & same_obj & aligned, sh_ao, mom
 
     # ---- 2x2 bilinear (svgf.comp:52-77) -----------------------------------------
     acc_shadow = jnp.zeros((h, w), jnp.float32)
@@ -103,9 +116,8 @@ def temporal(
     for (ox, oy), wgt in zip(offsets4, weights4):
         sy = iy + oy
         sx = ix + ox
-        valid = tap_valid(sy, sx)
+        valid, sh_ao, mom = tap(sy, sx)
         vw = jnp.where(valid, wgt, 0.0)
-        sh_ao, mom = tap_values(sy, sx)
         acc_shadow += vw * sh_ao[..., 0]
         acc_ao += vw * sh_ao[..., 1]
         acc_mom += vw[..., None] * mom
@@ -122,9 +134,8 @@ def temporal(
         for ox in (-1, 0, 1):
             sy = iy + oy
             sx = ix + ox
-            valid = tap_valid(sy, sx)
+            valid, sh_ao, mom = tap(sy, sx)
             vw = jnp.where(valid, 1.0, 0.0)
-            sh_ao, mom = tap_values(sy, sx)
             f_shadow += vw * sh_ao[..., 0]
             f_ao += vw * sh_ao[..., 1]
             f_mom += vw[..., None] * mom
