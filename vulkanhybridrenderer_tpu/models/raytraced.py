@@ -62,9 +62,11 @@ class RaytracedPath(RenderPath):
             o, d = primary_rays(pfd, h, w)
             filt = traverse.make_alpha_hit_filter(scene) if test_alpha else None
             # coherent primary closest-hit: strip compaction measured ~10%
-            # faster than plain strips (922 -> 826 ms at 2M rays)
+            # faster than plain strips (922 -> 826 ms at 2M rays); plain path
+            # below 1M rays to keep test/preview compiles fast
             rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX, hit_filter=filt,
-                                 compact=True, phases=((48, 4),))
+                                 compact=o.shape[0] >= (1 << 20),
+                                 phases=((48, 4),))
 
             at = rt_shade.interpolate_hit_attributes(
                 res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v

@@ -82,6 +82,11 @@ def hybrid_raytrace(
         state, r2 = rng.random01(state)
         u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
         dirs.append(to_basis(n_flat, uniform_sample_cosine_hemisphere(u2)))
+    # Compile-time note: each staged-compaction phase adds lax.cond branches
+    # whose big traversal loops all compile separately (~minutes of XLA time
+    # per instance), so the tuned config only applies at production wavefront
+    # sizes; small frames (tests, dryruns, previews) compile the plain path.
+    big = origin.shape[0] * ao_rays >= (1 << 20)
     rec = traverse.trace(
         bvh,
         tri_verts,
@@ -90,8 +95,8 @@ def hybrid_raytrace(
         SHADOW_TMIN,
         AO_TMAX,
         anyhit=True,
-        strips=8 * ao_rays,
-        compact=True,
+        strips=8 * ao_rays if big else 32,
+        compact=big,
         phases=((16, 4), (16, 16)),
     )
     miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
