@@ -146,3 +146,54 @@ def test_phased_compaction_exact():
                 np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(c.tri))
                 np.testing.assert_allclose(np.asarray(a.t), np.asarray(c.t),
                                            atol=1e-5)
+
+
+def test_traversal_fuzz_vs_brute_force():
+    """Randomized stress: BVH8 closest hits must equal brute-force
+    Möller-Trumbore over ALL triangles, across degenerate-ish geometry
+    (slivers, shared vertices, axis-aligned walls) and extreme ray setups."""
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(20, 600))
+        kind = trial % 4
+        if kind == 0:  # random soup
+            tris = np.asarray(_random_soup(n, seed=trial))
+        elif kind == 1:  # thin slivers
+            base = rng.uniform(-5, 5, (n, 1, 3))
+            e1 = rng.normal(size=(n, 1, 3)) * 2.0
+            e2 = e1 * rng.uniform(0.9, 1.1, (n, 1, 1)) + rng.normal(
+                size=(n, 1, 3)) * 1e-3
+            tris = np.concatenate([base, base + e1, base + e2], axis=1)
+        elif kind == 2:  # axis-aligned quads (walls/floors)
+            tris = []
+            for _ in range(n):
+                axis = rng.integers(0, 3)
+                c = rng.uniform(-5, 5, 3)
+                s_ = rng.uniform(0.1, 4)
+                a = np.zeros(3); b = np.zeros(3)
+                a[(axis + 1) % 3] = s_
+                b[(axis + 2) % 3] = s_
+                tris.append([c, c + a, c + b])
+            tris = np.asarray(tris, np.float32)
+        else:  # clustered fan sharing a vertex
+            apex = rng.uniform(-2, 2, 3)
+            spokes = rng.normal(size=(n, 2, 3)) * 1.5 + apex
+            tris = np.concatenate(
+                [np.broadcast_to(apex, (n, 1, 3)), spokes], axis=1
+            ).astype(np.float32)
+        tris = jnp.asarray(np.ascontiguousarray(tris, np.float32))
+        b8 = _bvh8(tris)
+        bvh8_ops.validate_host(b8, tris)
+        o, d = _rand_rays(256, seed=trial + 50, spread=8.0)
+        rec = traverse.trace(b8, tris, o, d, 1e-3, 1e4)
+        t_all, _, _, ok = traverse.moller_trumbore(
+            tris[None, :, 0], tris[None, :, 1], tris[None, :, 2],
+            o[:, None], d[:, None],
+        )
+        t_all = np.asarray(jnp.where(ok & (t_all >= 1e-3), t_all, np.inf))
+        bf_t = t_all.min(axis=1)
+        hit_bf = np.isfinite(bf_t)
+        np.testing.assert_array_equal(np.asarray(rec.hit), hit_bf)
+        np.testing.assert_allclose(
+            np.asarray(rec.t)[hit_bf], bf_t[hit_bf], rtol=1e-5, atol=1e-5
+        )

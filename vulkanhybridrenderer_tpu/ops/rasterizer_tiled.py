@@ -62,6 +62,12 @@ GROUP = 8  # entry blocks fetched per DMA (amortizes DMA latency)
 MED1_SPAN = 64  # tile-span ceiling of the first compacted medium tier
 MED2_SPAN = 256  # ... second tier; span > MED2_SPAN goes to the global big list
 
+
+def _med_caps(t: int):
+    """Static capacities of the two compacted medium tiers (validated against
+    actual counts by Bins.overflow / Renderer.check_binning)."""
+    return max(4096, t // 16), max(512, t // 64)
+
 # rows of the packed plane SoA (16, CHUNK):
 # 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
 # 9..11 z plane                         12    tri id (exact float)
@@ -168,8 +174,7 @@ def bin_triangles(
     med1 = alive & (span > expand_cap) & (span <= MED1_SPAN)
     med2 = alive & (span > MED1_SPAN) & (span <= MED2_SPAN)
     big = alive & (span > MED2_SPAN)
-    med1_cap = max(4096, t // 16)
-    med2_cap = max(512, t // 64)
+    med1_cap, med2_cap = _med_caps(t)
 
     # ---- small-triangle entries: enumerate bbox tiles row-major ----------------
     k = jnp.arange(expand_cap, dtype=jnp.int32)[None, :]  # (1, E)
@@ -215,9 +220,9 @@ def bin_triangles(
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
     )
-    e_total = t * expand_cap + max(4096, t // 16) * MED1_SPAN + max(
-        512, t // 64
-    ) * MED2_SPAN
+    e_total = (
+        t * expand_cap + med1_cap * MED1_SPAN + med2_cap * MED2_SPAN
+    )
     # pad tile tables to a multiple of TILES_PER_PROG (padding tiles are empty)
     ntiles_pad = ((ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG) * TILES_PER_PROG
     if ntiles_pad != ntiles:
