@@ -16,7 +16,7 @@
 
 namespace {
 
-constexpr int LEAF_MAX = 8;
+
 constexpr int NF = 128;
 
 struct Bin {
@@ -27,6 +27,7 @@ struct Bin {
 };
 
 struct Ctx {
+    int leaf_max;
     const int32_t* left;
     const int32_t* right;
     const int32_t* leaf_tri;  // start index into order, -1 internal
@@ -92,7 +93,7 @@ std::vector<Bin> make_bins(const Ctx& c, int node) {
         std::vector<Bin> bins;
         std::vector<int> small;
         for (int r : roots)
-            if (c.count[r] > LEAF_MAX) {
+            if (c.count[r] > c.leaf_max) {
                 Bin b;
                 b.leaf = false;
                 b.node = r;
@@ -111,7 +112,7 @@ std::vector<Bin> make_bins(const Ctx& c, int node) {
         for (int r : small) {
             bool placed = false;
             for (auto& p : packs)
-                if (p.first + c.count[r] <= LEAF_MAX) {
+                if (p.first + c.count[r] <= c.leaf_max) {
                     p.first += c.count[r];
                     p.second.push_back(r);
                     placed = true;
@@ -137,7 +138,7 @@ std::vector<Bin> make_bins(const Ctx& c, int node) {
         // splittable in roots order; expand the FIRST max-count one
         int best = -1;
         for (int r : roots)
-            if (c.count[r] > LEAF_MAX && (best < 0 || c.count[r] > c.count[best]))
+            if (c.count[r] > c.leaf_max && (best < 0 || c.count[r] > c.count[best]))
                 best = r;
         if ((int)bins.size() >= 8 || best < 0) return bins;
         roots.erase(std::find(roots.begin(), roots.end(), best));
@@ -157,17 +158,19 @@ int bvh8_collapse(const float* tris, int t_count,
                   const int32_t* left, const int32_t* right,
                   const int32_t* leaf_tri, const int32_t* order,
                   const float* amin, const float* amax,
-                  int total, int leaf_size, int root,
+                  int total, int leaf_size, int root, int leaf_max,
                   float* rows, int32_t* child8, uint8_t* valid8, int32_t* tri8,
                   int cap, int32_t* out) {
     (void)t_count;
-    Ctx c{left, right, leaf_tri, order, amin, amax, tris, leaf_size, {}};
+    if (leaf_max < 1 || leaf_max * 10 > 127) return 3;
+    Ctx c{leaf_max, left, right, leaf_tri, order, amin, amax, tris, leaf_size,
+          {}};
     subtree_counts(c, total);
 
     std::memset(rows, 0, (size_t)cap * NF * sizeof(float));
     std::memset(valid8, 0, (size_t)cap * 8);
     for (int i = 0; i < cap * 8; ++i) child8[i] = -1;
-    for (int i = 0; i < cap * 8; ++i) tri8[i] = -1;
+    for (int i = 0; i < cap * leaf_max; ++i) tri8[i] = -1;
 
     struct Pending {
         Bin bin;
@@ -179,7 +182,7 @@ int bvh8_collapse(const float* tris, int t_count,
     std::vector<Pending> pending;
     {
         Bin b;
-        if (c.count[root] <= LEAF_MAX) {
+        if (c.count[root] <= leaf_max) {
             b.leaf = true;
             b.roots = {root};
         } else {
@@ -198,16 +201,17 @@ int bvh8_collapse(const float* tris, int t_count,
             std::vector<int> ids;
             for (int r : p.bin.roots) collect_tris(c, r, ids);
             row[127] = 1.0f;
-            for (size_t s = 0; s < ids.size() && s < 8; ++s) {
+            for (size_t s = 0; s < ids.size() && (int)s < leaf_max; ++s) {
                 int t = ids[s];
-                tri8[p.row * 8 + s] = t;
+                tri8[p.row * leaf_max + s] = t;
                 for (int corner = 0; corner < 3; ++corner)
                     for (int axis = 0; axis < 3; ++axis)
-                        row[(corner * 3 + axis) * 8 + s] =
+                        row[(corner * 3 + axis) * leaf_max + s] =
                             c.tris[t * 9 + corner * 3 + axis];
-                row[72 + s] = (float)t;
+                row[9 * leaf_max + s] = (float)t;
             }
-            for (size_t s = ids.size(); s < 8; ++s) row[72 + s] = -1.0f;
+            for (size_t s = ids.size(); (int)s < leaf_max; ++s)
+                row[9 * leaf_max + s] = -1.0f;
             continue;
         }
         int bnode = p.bin.node;

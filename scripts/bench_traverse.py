@@ -91,7 +91,9 @@ def main():
     if os.environ.get("BVH8", "0") == "1":
         from vulkanhybridrenderer_tpu.ops import bvh8 as bvh8_ops
 
-        b = bvh8_ops.build_bvh8_host(b, tris)
+        b = bvh8_ops.build_bvh8_host(
+            b, tris, leaf_max=int(os.environ.get("LEAF_MAX", 8))
+        )
         print(f"using BVH8: {b.num_rows} rows "
               f"({b.num_rows * 512 / 1e6:.1f} MB), depth {b.depth}", flush=True)
     for name, dkey, kw in cases:

@@ -197,3 +197,28 @@ def test_traversal_fuzz_vs_brute_force():
         np.testing.assert_allclose(
             np.asarray(rec.t)[hit_bf], bf_t[hit_bf], rtol=1e-5, atol=1e-5
         )
+
+
+def test_leaf_max_12_matches_8():
+    """12-triangle leaf rows (layout: 9 coordinate groups of 12 + ids) must
+    produce identical closest hits; native and Python builders bit-identical."""
+    from vulkanhybridrenderer_tpu import native_bridge
+
+    tris = _random_soup(500, seed=17)
+    b1 = bvh_ops.build(tris, leaf_size=1)
+    b8 = bvh8_ops.build_bvh8_host(b1, tris, prefer_native=False)
+    b12 = bvh8_ops.build_bvh8_host(b1, tris, prefer_native=False, leaf_max=12)
+    bvh8_ops.validate_host(b12, tris)
+    assert b12.num_rows < b8.num_rows
+    o, d = _rand_rays(512, seed=4)
+    r8 = traverse.trace(b8, tris, o, d, 0.01, 1e4)
+    r12 = traverse.trace(b12, tris, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(r8.tri), np.asarray(r12.tri))
+    np.testing.assert_allclose(np.asarray(r8.t), np.asarray(r12.t), atol=1e-5)
+    if native_bridge.native_available():
+        nat = native_bridge.bvh8_collapse_host(b1, tris, leaf_max=12)
+        np.testing.assert_array_equal(np.asarray(nat.rows), np.asarray(b12.rows))
+    # refit keeps the 12-wide layout intact
+    moved = tris + jnp.asarray([2.0, 0.0, 0.0])
+    b12m = bvh8_ops.refit8(b12, moved)
+    bvh8_ops.validate_host(b12m, moved)

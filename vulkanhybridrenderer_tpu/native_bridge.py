@@ -46,7 +46,7 @@ def _load():
         lib.bvh8_collapse.restype = ctypes.c_int
         lib.bvh8_collapse.argtypes = [
             f32p, ctypes.c_int, i32p, i32p, i32p, i32p, f32p, f32p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             f32p, i32p, u8p, i32p, ctypes.c_int, i32p,
         ]
         _lib = lib
@@ -166,7 +166,7 @@ def build_sah_host(tri_verts):
     return bvh_ops.with_octant_links(bvh)
 
 
-def bvh8_collapse_host(bvh, tri_verts):
+def bvh8_collapse_host(bvh, tri_verts, leaf_max: int = 8):
     """Native BVH8 collapse (native/bvh8.cpp) of a binary BVH pytree; bit-
     identical to ops/bvh8.build_bvh8_host's Python collapse (tested).  Returns
     None when the native library is unavailable (caller falls back)."""
@@ -192,12 +192,12 @@ def bvh8_collapse_host(bvh, tri_verts):
     rows = np.zeros((cap, 128), np.float32)
     child8 = np.zeros((cap, 8), np.int32)
     valid8 = np.zeros((cap, 8), np.uint8)
-    tri8 = np.zeros((cap, 8), np.int32)
+    tri8 = np.zeros((cap, leaf_max), np.int32)
     out = np.zeros(2, np.int32)
     rc = lib.bvh8_collapse(
         _f32p(tris), t, _i32p(left), _i32p(right), _i32p(leaf_tri),
         _i32p(order), _f32p(amin), _f32p(amax), total, int(bvh.leaf_size),
-        int(bvh.root), _f32p(rows),
+        int(bvh.root), leaf_max, _f32p(rows),
         _i32p(child8), valid8.ctypes.data_as(ct.POINTER(ct.c_uint8)),
         _i32p(tri8), cap, _i32p(out),
     )
@@ -210,4 +210,5 @@ def bvh8_collapse_host(bvh, tri_verts):
         valid8=jnp.asarray(valid8[:n_rows].astype(bool)),
         tri8=jnp.asarray(tri8[:n_rows]),
         depth=depth,
+        leaf_max=leaf_max,
     )

@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LEAF_MAX = 8  # triangles per leaf row
+LEAF_MAX = 8  # default triangles per leaf row (12 fits the 128-float row too)
 
 
 @jax.tree_util.register_dataclass
@@ -59,8 +59,11 @@ class BVH8:
     #: leaf row), per-slot validity, per-slot original triangle ids
     child8: Any  # (N, 8) int32
     valid8: Any  # (N, 8) bool
-    tri8: Any  # (N, 8) int32
+    tri8: Any  # (N, leaf_max) int32
     depth: int = dataclasses.field(default=16, metadata=dict(static=True))
+    #: triangles per leaf row (static; leaf row layout: 9 coordinate groups of
+    #: `leaf_max` lanes at [0 : 9*leaf_max), ids at [9*leaf_max : 10*leaf_max))
+    leaf_max: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     @property
     def is_leaf_rows(self):
@@ -112,18 +115,21 @@ def _collect_tris(node, left, right, leaf_tri, order, leaf_size):
     return out
 
 
-def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
+def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
+                    leaf_max: int = LEAF_MAX) -> BVH8:
     """Collapse a binary BVH (ops/bvh.py BVH, leaf_size any) into a BVH8.
 
     Host build — load-time only, like the reference's BLAS build
     (resource_manager.cpp:593-701).  Uses the native C++ collapse
     (native/bvh8.cpp, bit-identical output, ~50x faster on big scenes) when
-    available; animated scenes refit on-device.
+    available; animated scenes refit on-device.  leaf_max: triangles per leaf
+    row (8 or 12; 12 * 9 coords + 12 ids = 120 <= 127 fits the row).
     """
+    assert leaf_max in (8, 12)
     if prefer_native:
         from vulkanhybridrenderer_tpu import native_bridge
 
-        out = native_bridge.bvh8_collapse_host(bvh, tri_verts)
+        out = native_bridge.bvh8_collapse_host(bvh, tri_verts, leaf_max=leaf_max)
         if out is not None:
             return out
     left = np.asarray(bvh.left)
@@ -140,22 +146,22 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
         """Expand the binary subtree under n into up to 8 child bins.
 
         A bin is ("node", binary_node) for subtrees that stay internal
-        (count > LEAF_MAX) or ("leaf", [roots], lo, hi) packing one or more
-        small sibling subtrees (<= LEAF_MAX triangles total) into one full
+        (count > leaf_max) or ("leaf", [roots], lo, hi) packing one or more
+        small sibling subtrees (<= leaf_max triangles total) into one full
         leaf row.  Greedy largest-first expansion + first-fit-decreasing
         packing keeps leaves near-full, which shrinks the row table."""
 
         def pack(roots):
-            big = [r for r in roots if count[r] > LEAF_MAX]
+            big = [r for r in roots if count[r] > leaf_max]
             small = sorted(
-                (r for r in roots if count[r] <= LEAF_MAX),
+                (r for r in roots if count[r] <= leaf_max),
                 key=lambda r: -count[r],
             )
             bins = [("node", r) for r in big]
             packs = []  # [(tris_total, [roots])]
             for r in small:
                 for p in packs:
-                    if p[0] + count[r] <= LEAF_MAX:
+                    if p[0] + count[r] <= leaf_max:
                         p[0] += count[r]
                         p[1].append(r)
                         break
@@ -170,7 +176,7 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
         roots = [n]
         while True:
             bins = pack(roots)
-            splittable = [r for r in roots if count[r] > LEAF_MAX]
+            splittable = [r for r in roots if count[r] > leaf_max]
             if len(bins) >= 8 or not splittable:
                 return bins
             r = max(splittable, key=lambda x: count[x])
@@ -188,7 +194,7 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
     rows_meta = {}
     next_row = [1]  # row 0 = root
     root_bnode = int(bvh.root)
-    if count[root_bnode] <= LEAF_MAX:
+    if count[root_bnode] <= leaf_max:
         pending = [(("leaf", [root_bnode], amin[root_bnode], amax[root_bnode]), 0)]
     else:
         pending = [(("node", root_bnode), 0)]
@@ -232,7 +238,7 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
     rows = np.zeros((n_rows, 128), np.float32)
     child8 = np.full((n_rows, 8), -1, np.int32)
     valid8 = np.zeros((n_rows, 8), bool)
-    tri8 = np.full((n_rows, 8), -1, np.int32)
+    tri8 = np.full((n_rows, leaf_max), -1, np.int32)
     for row, meta in rows_meta.items():
         if meta[0] == "leaf":
             ids = meta[1]
@@ -242,8 +248,10 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
                 v = tris[t]  # (3, 3)
                 for corner in range(3):
                     for axis in range(3):
-                        rows[row, (corner * 3 + axis) * 8 + s] = v[corner, axis]
-            rows[row, 72:80] = tri8[row]
+                        rows[row, (corner * 3 + axis) * leaf_max + s] = (
+                            v[corner, axis]
+                        )
+            rows[row, 9 * leaf_max:10 * leaf_max] = tri8[row]
         else:
             taken = meta[1]
             base = min(cr for cr, _, _ in taken.values())
@@ -278,6 +286,7 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True) -> BVH8:
         valid8=jnp.asarray(valid8),
         tri8=jnp.asarray(tri8),
         depth=int(depth) + 2,
+        leaf_max=leaf_max,
     )
 
 
@@ -287,15 +296,16 @@ def refit8(b: BVH8, tri_verts, sweeps: int = 24) -> BVH8:
     the topology — the per-frame update for animated scenes (reference
     UpdateBLAS, resource_manager.cpp:593-701)."""
     n = b.num_rows
+    lm = b.leaf_max
     is_leaf = b.rows[:, 127] > 0.5
-    safe_tri = jnp.maximum(b.tri8, 0)  # (N, 8)
+    safe_tri = jnp.maximum(b.tri8, 0)  # (N, leaf_max)
     tvalid = b.tri8 >= 0
 
-    # leaf geometry: 9 coordinate planes, each a 1-D gather of (N*8,) ids
+    # leaf geometry: 9 coordinate planes, each a 1-D gather of (N*lm,) ids
     tflat = tri_verts.reshape(-1, 9)  # (T, 9) [v0.xyz v1.xyz v2.xyz]
     coords = [
-        tflat[:, c][safe_tri.reshape(-1)].reshape(n, 8) for c in range(9)
-    ]  # 9 x (N, 8)
+        tflat[:, c][safe_tri.reshape(-1)].reshape(n, lm) for c in range(9)
+    ]  # 9 x (N, leaf_max)
 
     # leaf AABBs over valid slots
     big = jnp.float32(3.0e38)
@@ -359,9 +369,9 @@ def refit8(b: BVH8, tri_verts, sweeps: int = 24) -> BVH8:
     geom = jnp.where(
         is_leaf[:, None],
         leaf_cols,
-        jnp.concatenate([int_lo, int_hi, rows[:, 48:72]], axis=1),
+        jnp.concatenate([int_lo, int_hi, rows[:, 48:9 * lm]], axis=1),
     )
-    rows = jnp.concatenate([geom, rows[:, 72:]], axis=1)
+    rows = jnp.concatenate([geom, rows[:, 9 * lm:]], axis=1)
     return dataclasses.replace(b, rows=rows)
 
 
@@ -386,7 +396,7 @@ def validate_host(b: BVH8, tri_verts) -> None:
         depth_max = max(depth_max, d)
         if rows[row, 127] == 1.0:  # leaf
             assert (child8[row] == -1).all() and not valid8[row].any()
-            for s in range(8):
+            for s in range(b.leaf_max):
                 t = tri8[row, s]
                 if t < 0:
                     continue
@@ -394,7 +404,7 @@ def validate_host(b: BVH8, tri_verts) -> None:
                 for corner in range(3):
                     for axis in range(3):
                         assert (
-                            rows[row, (corner * 3 + axis) * 8 + s]
+                            rows[row, (corner * 3 + axis) * b.leaf_max + s]
                             == np.float32(tris[t, corner, axis])
                         )
         else:

@@ -227,9 +227,10 @@ def _trace8(
     max_steps: int,
     init_state=None,
     return_state: bool = False,
+    leaf_max: int = 8,
 ):
     """BVH8 wavefront traversal: ONE (N, 128) row gather per step tests 8 child
-    AABBs (internal rows) or 8 full triangles (leaf rows).
+    AABBs (internal rows) or `leaf_max` full triangles (leaf rows).
 
     Per-ray stack = two (R, depth) int32 arrays updated with lane-mask selects
     (no per-lane scatters; depth is small and static).  Entry A packs
@@ -290,13 +291,16 @@ def _trace8(
         base = row[:, 48].astype(jnp.int32)
         offmap = row[:, 49].astype(jnp.int32)
 
-        # -- leaf: 8-wide Möller-Trumbore (same column ranges, slot-major) ------
-        e1x = row[:, 24:32] - row[:, 0:8]
-        e1y = row[:, 32:40] - row[:, 8:16]
-        e1z = row[:, 40:48] - row[:, 16:24]
-        e2x = row[:, 48:56] - row[:, 0:8]
-        e2y = row[:, 56:64] - row[:, 8:16]
-        e2z = row[:, 64:72] - row[:, 16:24]
+        # -- leaf: leaf_max-wide Möller-Trumbore (slot-major coordinate groups) --
+        lm = leaf_max
+        g = lambda k: row[:, k * lm:(k + 1) * lm]
+        v0x, v0y, v0z = g(0), g(1), g(2)
+        e1x = g(3) - v0x
+        e1y = g(4) - v0y
+        e1z = g(5) - v0z
+        e2x = g(6) - v0x
+        e2y = g(7) - v0y
+        e2z = g(8) - v0z
         dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
         px = dy * e2z - dz * e2y
         py = dz * e2x - dx * e2z
@@ -304,16 +308,16 @@ def _trace8(
         det = e1x * px + e1y * py + e1z * pz
         okd = jnp.abs(det) > 1e-9
         invdet = 1.0 / jnp.where(okd, det, 1.0)
-        tvx = ox - row[:, 0:8]
-        tvy = oy - row[:, 8:16]
-        tvz = oz - row[:, 16:24]
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
         u8 = (tvx * px + tvy * py + tvz * pz) * invdet
         qx = tvy * e1z - tvz * e1y
         qy = tvz * e1x - tvx * e1z
         qz = tvx * e1y - tvy * e1x
         v8 = (dx * qx + dy * qy + dz * qz) * invdet
         t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
-        tri8 = row[:, 72:80].astype(jnp.int32)
+        tri8 = row[:, 9 * lm:10 * lm].astype(jnp.int32)
         ok8 = (
             okd
             & (u8 >= 0.0)
@@ -330,10 +334,10 @@ def _trace8(
                 u8.reshape(-1),
                 v8.reshape(-1),
                 ok8.reshape(-1),
-            ).reshape(r, 8)
+            ).reshape(r, lm)
         t8m = jnp.where(ok8, t8, jnp.inf)
         sbest = jnp.argmin(t8m, axis=-1)
-        onehot = slots8[None, :] == sbest[:, None]
+        onehot = jnp.arange(lm, dtype=jnp.int32)[None, :] == sbest[:, None]
         have = jnp.any(ok8, axis=-1)
         tc = jnp.sum(jnp.where(onehot, t8m, 0.0), axis=-1)
         upd = have & (tc < t_best)
@@ -410,6 +414,7 @@ def _trace8_phased(
     hit_filter,
     max_steps: int,
     phases=((16, 2), (16, 8)),
+    leaf_max: int = 8,
 ):
     """_trace8 with staged active-ray compaction.
 
@@ -427,7 +432,7 @@ def _trace8_phased(
     def finish(state, o, d, tn, steps_left):
         return _trace8(
             rows, root, depth, o, d, tn, None, anyhit, hit_filter,
-            max(0, steps_left), init_state=state,
+            max(0, steps_left), init_state=state, leaf_max=leaf_max,
         )
 
     def run(state, o, d, tn, phases_left, steps_used):
@@ -438,7 +443,7 @@ def _trace8_phased(
         state = _trace8(
             rows, root, depth, o, d, tn, None, anyhit, hit_filter,
             max(0, min(p_steps, max_steps - steps_used)), init_state=state,
-            return_state=True,
+            return_state=True, leaf_max=leaf_max,
         )
         node = state[0]
         alive = node >= 0
@@ -726,10 +731,11 @@ def trace(
                 return _trace8_phased(
                     bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
                     hit_filter, max_steps, phases=phases,
+                    leaf_max=bvh.leaf_max,
                 )
             return _trace8(
                 bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
-                hit_filter, max_steps,
+                hit_filter, max_steps, leaf_max=bvh.leaf_max,
             )
         if bvh.leaf_size == 1:
             if compact:
