@@ -248,7 +248,9 @@ def _trace8(
     ix, iy, iz = inv[:, 0:1], inv[:, 1:2], inv[:, 2:3]
     oct_ = ray_octants(d)  # (R,)
     slots8 = jnp.arange(8, dtype=jnp.int32)  # (8,)
-    lane = jnp.arange(depth, dtype=jnp.int32)  # (D,)
+    # stacks live as (depth, R): R on the fast (lane) axis — (R, depth) would
+    # pad the tiny minor dim to the 128-lane tile on TPU
+    lane = jnp.arange(depth, dtype=jnp.int32)[:, None]  # (D, 1)
 
     def first_slot(mask):
         """First set slot of `mask` in XOR-octant (near-first) order; returns
@@ -354,24 +356,24 @@ def _trace8(
         child = base + ((offmap >> (3 * slot)) & 7)
         push = descend & (remaining != 0)
         entry = base * 256 + remaining
-        at_sp = lane[None, :] == sp[:, None]
-        pushm = (at_sp & push[:, None])
-        stack = jnp.where(pushm, entry[:, None], stack)
-        stack_b = jnp.where(pushm, offmap[:, None], stack_b)
+        at_sp = lane == sp[None, :]  # (D, R)
+        pushm = at_sp & push[None, :]
+        stack = jnp.where(pushm, entry[None, :], stack)
+        stack_b = jnp.where(pushm, offmap[None, :], stack_b)
         sp_desc = sp + push.astype(jnp.int32)
 
         need_pop = live & (is_leaf | (mask == 0))
         if anyhit:
             need_pop &= ~have  # terminate on first accepted hit
         can_pop = need_pop & (sp > 0)
-        at_top = lane[None, :] == (sp - 1)[:, None]
-        top = jnp.sum(jnp.where(at_top, stack, 0), axis=-1)
-        top_off = jnp.sum(jnp.where(at_top, stack_b, 0), axis=-1)
+        at_top = lane == (sp - 1)[None, :]  # (D, R)
+        top = jnp.sum(jnp.where(at_top, stack, 0), axis=0)
+        top_off = jnp.sum(jnp.where(at_top, stack_b, 0), axis=0)
         pmask = top & 255
         pslot, prem = first_slot(pmask)
         pchild = (top >> 8) + ((top_off >> (3 * pslot)) & 7)
         new_top = (top & ~jnp.int32(255)) | prem
-        stack = jnp.where(at_top & can_pop[:, None], new_top[:, None], stack)
+        stack = jnp.where(at_top & can_pop[None, :], new_top[None, :], stack)
         sp = jnp.where(
             can_pop & (prem == 0), sp - 1, jnp.where(descend, sp_desc, sp)
         )
@@ -386,8 +388,8 @@ def _trace8(
         init = (
             jnp.full((r,), root, jnp.int32),
             jnp.zeros((r,), jnp.int32),
-            jnp.zeros((r, depth), jnp.int32),
-            jnp.zeros((r, depth), jnp.int32),
+            jnp.zeros((depth, r), jnp.int32),
+            jnp.zeros((depth, r), jnp.int32),
             tmax,
             jnp.full((r,), -1, jnp.int32),
             jnp.zeros((r,), jnp.float32),
@@ -459,8 +461,8 @@ def _trace8_phased(
             sub = (
                 jnp.where(ok, node[idx], -1),
                 sp[idx],
-                stack[idx],
-                stack_b[idx],
+                stack[:, idx],
+                stack_b[:, idx],
                 t_b[idx],
                 tri_b[idx],
                 u_b[idx],
@@ -485,8 +487,8 @@ def _trace8_phased(
     init = (
         jnp.full((r0,), root, jnp.int32),
         jnp.zeros((r0,), jnp.int32),
-        jnp.zeros((r0, depth), jnp.int32),
-        jnp.zeros((r0, depth), jnp.int32),
+        jnp.zeros((depth, r0), jnp.int32),
+        jnp.zeros((depth, r0), jnp.int32),
         tmax,
         jnp.full((r0,), -1, jnp.int32),
         jnp.zeros((r0,), jnp.float32),
