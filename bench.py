@@ -68,10 +68,13 @@ def main() -> None:
 
     # warm up: compile + 2 frames (np.asarray forces real execution -- on this
     # runtime block_until_ready can return before async device faults surface).
-    # Frames are fetched as the 8-bit sRGB swapchain image (the reference
-    # presents B8G8R8A8_SRGB) -- encoded on device, 4x less host readback.
-    out = r.render_frame(srgb8=True)
-    np.asarray(out)
+    # First warm frame is fetched LINEAR and isfinite-checked: the sRGB8 encode
+    # clips NaNs to valid uint8, so only the linear frame can prove the
+    # pipeline is numerically sound.  Timed frames then use the 8-bit sRGB
+    # swapchain image (the reference presents B8G8R8A8_SRGB) -- encoded on
+    # device, 4x less host readback.
+    lin = np.asarray(r.render_frame())
+    assert np.isfinite(lin).all(), "non-finite values in linear frame"
     out = r.render_frame(srgb8=True)
     np.asarray(out)
 

@@ -94,6 +94,32 @@ def test_refit8():
     np.testing.assert_allclose(np.asarray(r_ref.t), np.asarray(r_f.t), atol=1e-4)
 
 
+def test_refit8_sweeps_cover_depth():
+    """Regression (round-2 advisor): refit8's default sweep count must cover
+    the tree's full depth — a fixed cap leaves upper internal AABBs stale
+    after large moves (silently missed intersections on animated scenes)."""
+    tris = _random_soup(900, seed=21, spread=30.0)
+    b8 = _bvh8(tris)
+    assert b8.depth >= 3
+    moved = tris + jnp.asarray([0.0, 40.0, 0.0])
+    good = bvh8_ops.refit8(b8, moved)
+    # default == full-depth propagation, bit-identical
+    full = bvh8_ops.refit8(b8, moved, sweeps=b8.depth)
+    np.testing.assert_array_equal(np.asarray(good.rows), np.asarray(full.rows))
+    # traversal over the default refit matches a fresh build on moved tris
+    bref = bvh_ops.build(moved, leaf_size=1)
+    o, d = _rand_rays(256, seed=13, spread=35.0)
+    o = o + jnp.asarray([0.0, 40.0, 0.0])
+    r_ref = traverse.trace(bref, moved, o, d, 0.01, 1e4)
+    r_f = traverse.trace(good, moved, o, d, 0.01, 1e4)
+    np.testing.assert_array_equal(np.asarray(r_ref.tri), np.asarray(r_f.tri))
+    # an UNDER-swept refit demonstrably misses hits (the failure mode the
+    # depth default prevents): upper boxes still cover the old location
+    bad = bvh8_ops.refit8(b8, moved, sweeps=1)
+    r_bad = traverse.trace(bad, moved, o, d, 0.01, 1e4)
+    assert (np.asarray(r_bad.tri) != np.asarray(r_ref.tri)).any()
+
+
 def test_alpha_hit_filter_bvh8():
     sc = procedural.checker_quad(alpha_leaf=True)
     world = to_world(sc.buffers)
@@ -146,6 +172,68 @@ def test_phased_compaction_exact():
                 np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(c.tri))
                 np.testing.assert_allclose(np.asarray(a.t), np.asarray(c.t),
                                            atol=1e-5)
+
+
+def test_phased_compaction_ray0_survives():
+    """Regression (round-2 advisor, high): the compacted branch pads its
+    nonzero index list; padding lanes must not scatter stale pre-phase state
+    onto ray 0 (the old fill_value=0 + duplicate-index .set clobber).  Builds
+    a wavefront where ray 0 is one of few survivors of a short phase 1, so
+    the lax.cond compaction branch executes with ray 0 alive."""
+    tris = _random_soup(600, seed=11, spread=3.0)
+    b8 = _bvh8(tris)
+    n = 4096
+    o = np.zeros((n, 3), np.float32)
+    d = np.zeros((n, 3), np.float32)
+    # rays 0..63: aimed from afar at the centroids of triangles 0..63
+    # (guaranteed hits, long walks through the dense cluster -> survive the
+    # 2-step phase); the rest start beyond it pointing away (die at the root
+    # in one step)
+    cent = np.asarray(tris[:64]).mean(axis=1)
+    o[:64] = [0.0, 0.0, -50.0]
+    d[:64] = cent - o[:64]
+    o[64:] = [0.0, 0.0, 100.0]
+    d[64:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    for anyhit in (False, True):
+        a = traverse.trace(b8, tris, o_j, d_j, 0.01, 1e4, anyhit=anyhit,
+                           strips=1, compact=False)
+        c = traverse.trace(b8, tris, o_j, d_j, 0.01, 1e4, anyhit=anyhit,
+                           strips=1, compact=True, phases=((2, 2), (8, 8)))
+        assert int(a.tri[0]) >= 0, "test setup: ray 0 must hit"
+        if anyhit:
+            np.testing.assert_array_equal(
+                np.asarray(a.tri >= 0), np.asarray(c.tri >= 0)
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(c.tri))
+            np.testing.assert_allclose(np.asarray(a.t), np.asarray(c.t),
+                                       atol=1e-5)
+
+
+def test_empty_slots_cost_no_steps():
+    """Regression (round-2 advisor): empty slots carry inverted boxes which the
+    orderless slab test un-inverts into universe boxes; unmasked, every empty
+    slot would hit and re-descend child base+0, wasting ~6 steps at this root.
+    Two well-separated 8-triangle clusters -> root with children in slots 0
+    and 7 (centroid octants); a +++ ray hitting only cluster B must find it
+    within 4 lockstep steps (root + B leaf; phantom descends would need ~9)."""
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-5.5, -4.5, (8, 1, 3)) + rng.uniform(-0.3, 0.3, (8, 3, 3))
+    b = rng.uniform(4.5, 5.5, (8, 1, 3)) + rng.uniform(-0.3, 0.3, (8, 3, 3))
+    tris = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    b8 = _bvh8(tris)
+    o_np = np.array([[4.0, 4.0, -20.0]], np.float32)
+    cent = np.asarray(tris[8]).mean(axis=0)  # first cluster-B triangle
+    d_np = cent[None] - o_np  # all-positive direction -> ray octant 0
+    assert (d_np > 0).all()
+    o = jnp.asarray(o_np)
+    d = jnp.asarray(d_np / np.linalg.norm(d_np))
+    free = traverse.trace(b8, tris, o, d, 0.01, 1e4)
+    assert int(free.tri[0]) >= 8, "test setup: must hit cluster B"
+    tight = traverse.trace(b8, tris, o, d, 0.01, 1e4, max_steps=4)
+    assert int(tight.tri[0]) == int(free.tri[0])
 
 
 def test_traversal_fuzz_vs_brute_force():

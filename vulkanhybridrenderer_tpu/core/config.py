@@ -112,7 +112,9 @@ class RenderConfig:
     #: skip masked triangles in raster passes (they remain in the BVH for RT)
     alpha_raster: str = "brute"
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
-    shadow_rays: int = 4  # raygen.rgen:39-41 loop count
+    # NOTE: no shadow-ray-count knob: the reference's raygen.rgen:39-41 loop
+    # re-traces the SAME direction/payload 4x, which is semantically one
+    # any-hit trace (ops/raygen.py traces once, bit-equal result).
     ao_rays: int = 2  # raygen.rgen:45-55
     raster_state: RasterState = dataclasses.field(default_factory=RasterState)
     hybrid: HybridSettings = dataclasses.field(default_factory=HybridSettings)

@@ -38,7 +38,8 @@ class ForwardRasterPath(RenderPath):
             scene = res["scene"]
             pfd = res["pfd"]
             clip = res["Clip"]
-            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"))
+            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"),
+                                     tables=res["shade_tables"])
             attrs = shade.resolve_forward_attributes(
                 scene, res["shade_tables"], res["TriRows"], vis
             )

@@ -67,7 +67,8 @@ class HybridPath(RenderPath):
         def gbuffer_pass(res):
             scene = res["scene"]
             clip = res["Clip"]
-            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"))
+            vis = rasterize_for_path(scene, clip, w, h, cfg, mesh=res.get("mesh"),
+                                     tables=res["shade_tables"])
             gb = gbuffer.resolve_gbuffer(
                 scene, res["shade_tables"], res["TriRows"], vis, res["pfd"]
             )

@@ -8,13 +8,14 @@ from vulkanhybridrenderer_tpu.ops import rasterizer_tiled
 
 
 def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True,
-                       mesh=None):
+                       mesh=None, tables=None):
     """Rasterizer dispatch per RenderConfig.raster ("binned" Pallas tile kernel vs
     "brute" reference scan), honoring config.raster_state
     (vulkan_pipeline_presets.h:35-78).  Both produce identical
     VisibilityBuffers (tested).  With an active device mesh, rasterization
     runs triangle-sharded with a sort-last composite over ICI
-    (parallel/mesh.rasterize_scene_sharded)."""
+    (parallel/mesh.rasterize_scene_sharded).  `tables`: the scene's cached
+    fused shade tables, used by the alpha-mask fragment kill."""
     alpha = alpha and config.alpha_raster != "off"
     rs = config.raster_state
     cull = rs.cull_mode == "back"
@@ -31,14 +32,15 @@ def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True,
 
             return rasterize_scene_sharded(
                 scene, clip, width, height, mesh, alpha=alpha,
-                cull_backface=cull,
+                cull_backface=cull, tables=tables,
             )
         return rasterizer_tiled.rasterize_scene(
-            scene, clip, width, height, alpha=alpha, cull_backface=cull
+            scene, clip, width, height, alpha=alpha, cull_backface=cull,
+            tables=tables,
         )
     setup = rasterizer.triangle_setup(clip, scene.tri_vertex, width, height)
     mask_fn = (
-        gbuffer.make_alpha_frag_mask(scene, clip)
+        gbuffer.make_alpha_frag_mask(scene, clip, tables=tables)
         if (alpha and scene.has_alpha_mask)
         else None
     )

@@ -21,7 +21,6 @@ from vulkanhybridrenderer_tpu.graph.render_graph import RENDER_OUTPUT, RenderGra
 from vulkanhybridrenderer_tpu.models.base import RenderPath
 from vulkanhybridrenderer_tpu.models.passes import add_bvh_pass, add_geometry_pass
 from vulkanhybridrenderer_tpu.ops import rt_shade, screen, traverse
-from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear
 from vulkanhybridrenderer_tpu.utils.math3d import normalize, transform_directions, transform_points
 
 SKY = jnp.array([0.3, 0.8, 0.2, 1.0], jnp.float32)  # miss.rmiss:7
@@ -60,7 +59,10 @@ class RaytracedPath(RenderPath):
             bvh = res["BVH"]
             tris = res["WorldTris"]
             o, d = primary_rays(pfd, h, w)
-            filt = traverse.make_alpha_hit_filter(scene) if test_alpha else None
+            filt = (
+                traverse.make_alpha_hit_filter(scene, res["shade_tables"])
+                if test_alpha else None
+            )
             # coherent primary closest-hit: strip compaction measured ~10%
             # faster than plain strips (922 -> 826 ms at 2M rays); plain path
             # below 1M rays to keep test/preview compiles fast

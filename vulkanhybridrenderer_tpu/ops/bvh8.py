@@ -89,13 +89,18 @@ def _subtree_counts(left, right, leaf_tri, order, leaf_size):
         for i in np.nonzero(is_leaf)[0]:
             s = leaf_tri[i]
             count[i] = int((order[s : s + leaf_size] >= 0).sum())
-    # children always have higher... not guaranteed; sweep until fixpoint
+    # child ids are not ordered relative to parents; sweep until fixpoint
+    # (converges in <= tree-depth iterations, which can exceed any fixed cap
+    # on degenerate trees — so iterate to convergence and assert it)
     internal = np.nonzero(~is_leaf)[0]
-    for _ in range(64):
+    converged = internal.size == 0
+    for _ in range(total + 1):
         new = count[left[internal]] + count[right[internal]]
         if (new == count[internal]).all():
+            converged = True
             break
         count[internal] = new
+    assert converged, "subtree-count fixpoint did not converge (cyclic tree?)"
     return count
 
 
@@ -291,10 +296,16 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
-def refit8(b: BVH8, tri_verts, sweeps: int = 24) -> BVH8:
+def refit8(b: BVH8, tri_verts, sweeps: int | None = None) -> BVH8:
     """Recompute leaf triangle rows + all AABBs for new vertex positions keeping
     the topology — the per-frame update for animated scenes (reference
-    UpdateBLAS, resource_manager.cpp:593-701)."""
+    UpdateBLAS, resource_manager.cpp:593-701).
+
+    sweeps: bottom-up propagation iterations; None (default) = the tree's own
+    static depth (a fixed cap smaller than the depth would leave upper internal
+    AABBs stale — silently missed intersections on animated scenes)."""
+    if sweeps is None:
+        sweeps = b.depth  # static dataclass field: resolvable under jit
     n = b.num_rows
     lm = b.leaf_max
     is_leaf = b.rows[:, 127] > 0.5
@@ -412,7 +423,9 @@ def validate_host(b: BVH8, tri_verts) -> None:
             offmap = int(rows[row, 49])
             for s in range(8):
                 if not valid8[row, s]:
-                    # empty slot: inverted-infinite box, never intersected
+                    # empty slot: inverted box (lo > hi) — _trace8 masks these
+                    # out explicitly via its lo.x <= hi.x slot-validity compare
+                    # (the orderless slab test alone would un-invert them)
                     assert rows[row, s] > rows[row, 24 + s]
                     assert child8[row, s] == -1
                     continue

@@ -27,7 +27,6 @@ from vulkanhybridrenderer_tpu.ops.geometry import WorldGeometry
 from vulkanhybridrenderer_tpu.ops.rasterizer import (VisibilityBuffer,
     weights_from_bary)
 from vulkanhybridrenderer_tpu.ops.filters import flat_gather
-from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear, sample_or_factor
 from vulkanhybridrenderer_tpu.utils.math3d import normalize, transform_points
 
 
@@ -58,27 +57,37 @@ def interpolate(attr_v, vidx, weights):
     return out
 
 
-def make_alpha_frag_mask(scene: SceneBuffers, clip=None):
+def make_alpha_frag_mask(scene: SceneBuffers, clip=None, tables=None):
     """Per-fragment alpha kill for the rasterizer (gbuf.frag:27-32): fragments with
     (alpha_mask && a < cutoff) or a == 0 are discarded during depth testing.
 
     Returns frag_mask_fn(tri_ids (C,), wts (C,H,W,3)) -> keep (C,H,W); `wts` are
     already perspective-correct vertex weights (the 2DH rasterizer provides
-    them directly, ops/rasterizer.py)."""
+    them directly, ops/rasterizer.py).  Sampling goes through the fused atlas4
+    row-gather tables (ops/shadetab.py) -- 4 gather indices per bilinear tap
+    instead of 16; `tables=None` rebuilds them in-trace (test convenience),
+    production callers thread the scene-cached tables."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
+    if tables is None:
+        tables = shadetab.build_shade_tables(scene)
 
     def frag_mask(tri_ids, wts):
         prim = scene.tri_prim[tri_ids]  # (C,)
-        tex = scene.materials.base_color_texture[prim]
-        masked = scene.materials.alpha_mask[prim] == 1
-        cutoff = scene.materials.alpha_cutoff[prim]
-        needs_test = masked & (tex >= 0)
-        vidx = scene.tri_vertex[tri_ids]  # (C, 3)
-        uvv = scene.uv0[vidx]  # (C, 3, 2)
+        pm = shadetab.fetch_prim(tables.prim_rows, prim)  # ONE row gather
+        needs_test = (pm["alpha_mask"] == 1.0) & (pm["base_tex"] >= 0)
+        uvv = shadetab.fetch_tri_uv(tables, tri_ids)  # (C, 3, 2)
         uv = jnp.einsum("chwk,ckj->chwj", wts, uvv)
-        alpha = sample_atlas_bilinear(
-            scene.atlas, tex[:, None, None] * jnp.ones_like(tri_ids[:, None, None]), uv
+        alpha = shadetab.sample_atlas4(
+            tables,
+            pm["base_tex"][:, None, None],
+            pm["base_scale"][:, None, None, :],
+            pm["base_offset"][:, None, None, :],
+            uv,
         )[..., 3]
-        kill = needs_test[:, None, None] & (alpha < cutoff[:, None, None])
+        kill = needs_test[:, None, None] & (
+            alpha < pm["alpha_cutoff"][:, None, None]
+        )
         return ~kill
 
     return frag_mask

@@ -579,6 +579,7 @@ def rasterize_scene(
     tile_w: int = TILE_W,
     alpha: bool = True,
     cull_backface: bool = True,
+    tables=None,
 ) -> VisibilityBuffer:
     """Full-scene visibility buffer via the binned Pallas kernel.
 
@@ -623,7 +624,7 @@ def rasterize_scene(
 
     if use_alpha:
         idx = scene.alpha_tri_idx
-        base_mask = _gbuffer.make_alpha_frag_mask(scene, clip)
+        base_mask = _gbuffer.make_alpha_frag_mask(scene, clip, tables=tables)
 
         def local_mask(tri_local, wts):
             return base_mask(idx[tri_local], wts)

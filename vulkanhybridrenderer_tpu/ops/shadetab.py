@@ -178,6 +178,15 @@ def interpolate3(attr, weights):
     return jnp.sum(attr * weights[..., None], axis=-2)
 
 
+def fetch_tri_uv(tables: ShadeTables, tri_ids):
+    """ONE static-row gather -> per-vertex uv0 (..., 3, 2).  For consumers
+    (alpha hit filters) that need uvs without the per-frame TriRows."""
+    row = tables.tri_static[tri_ids]  # (..., 28)
+    s = tri_ids.shape
+    off = _UV0 - _NRM
+    return row[..., off:off + 6].reshape(*s, 3, 2)
+
+
 def sample_atlas4(tables: ShadeTables, tex_id, scale, offset, uv, fallback=None):
     """Bilinear atlas sample = FOUR (AH*AW, 4) row gathers.
 

@@ -9,6 +9,12 @@ packed atlas (core/types.py:TextureAtlas) and sampling is a gather:
 
 with bilinear filtering and REPEAT wrapping done in-kernel.  The gathers vectorize over
 whole (H, W) pixel grids and fuse into the surrounding jitted frame function.
+
+NOTE: production frame paths sample through ops/shadetab.sample_atlas4, which
+gathers the pre-packed texel-major atlas4 table with the texture scale/offset
+already fused into the PrimRow.  This module is the standalone sampler (same
+math, per-texture-id scale/offset lookup) used by scene-level tests and any
+caller without shade tables.
 """
 from __future__ import annotations
 
@@ -20,14 +26,17 @@ from vulkanhybridrenderer_tpu.core.types import TextureAtlas
 def _gather_texel(data, iy, ix):
     """data: (4, AH, AW); iy/ix: (...,) int32 -> (..., 4).
 
-    Per-channel flat 1-D gathers: XLA TPU lowers multi-dim operand gathers
-    (flat[:, lin]) orders of magnitude slower than 1-D ones."""
-    from vulkanhybridrenderer_tpu.ops.filters import flat_gather
-
+    ONE 4-channel row gather per tap from the texel-major view of the atlas:
+    gather cost on TPU is per-INDEX regardless of row width, so a row gather
+    beats 4 per-channel 1-D gathers 4x (docs/PERF_STATUS.md rule 4 — the
+    round-1 claim that row gathers are slower was a dispatch-latency
+    measurement artifact).  The channel→texel-major transpose is shared by
+    all four bilinear taps via CSE; production paths avoid it entirely by
+    gathering the pre-packed shadetab.atlas4 table."""
     c, ah, aw = data.shape
-    flat = data.reshape(c, ah * aw)
+    rows = data.reshape(c, ah * aw).T  # (AH*AW, 4) texel-major
     lin = iy * aw + ix
-    return jnp.stack([flat_gather(flat[k], lin) for k in range(c)], axis=-1)
+    return rows[lin]
 
 
 def sample_atlas_bilinear(atlas: TextureAtlas, tex_id, uv, fallback=None):

@@ -287,6 +287,11 @@ def _trace8(
             jnp.maximum(t0z, t1z),
         )
         hit8 = jnp.maximum(tn, tmin[:, None]) <= jnp.minimum(tf, t_best[:, None])
+        # Empty slots carry inverted boxes (lo > hi), but the orderless
+        # min/max slab test above would un-invert them into universe boxes —
+        # every empty slot would "hit" and redundantly re-descend child base+0.
+        # One compare masks them out (a real box always has lo.x <= hi.x).
+        hit8 &= row[:, 0:8] <= row[:, 24:32]
         mask = jnp.sum(
             jnp.where(hit8, jnp.int32(1) << slots8[None, :], 0), axis=-1
         )
@@ -426,65 +431,19 @@ def _trace8_phased(
     1/frac-width buffer and continue there, so total gather-index count tracks
     the SUM of per-ray walk lengths instead of width x max.
 
-    Exactness is unconditional: if more rays survive a phase than its buffer
-    holds, a lax.cond falls back to finishing that phase's full wavefront
-    uncompacted (the branch costs nothing unless taken).
+    Phases run SEQUENTIALLY (unconditionally compacting), so the XLA graph has
+    len(phases) + 1 traversal-loop instances plus one fallback — LINEAR in
+    phase count.  (The round-2 recursive lax.cond formulation cloned all
+    remaining phases into both cond branches: 2^phases loop bodies, the root
+    of the ~12-minute animated-config compiles.)
+
+    Exactness is unconditional: each phase records whether its survivors
+    overflowed the compaction buffer, and one top-level lax.cond re-traces the
+    whole strip uncompacted if any did (the branch costs nothing unless
+    taken, and overflow means the phase schedule is mistuned anyway).
     """
-
-    def finish(state, o, d, tn, steps_left):
-        return _trace8(
-            rows, root, depth, o, d, tn, None, anyhit, hit_filter,
-            max(0, steps_left), init_state=state, leaf_max=leaf_max,
-        )
-
-    def run(state, o, d, tn, phases_left, steps_used):
-        if not phases_left:
-            return finish(state, o, d, tn, max_steps - steps_used)
-        (p_steps, frac), rest = phases_left[0], phases_left[1:]
-        r = o.shape[0]
-        state = _trace8(
-            rows, root, depth, o, d, tn, None, anyhit, hit_filter,
-            max(0, min(p_steps, max_steps - steps_used)), init_state=state,
-            return_state=True, leaf_max=leaf_max,
-        )
-        node = state[0]
-        alive = node >= 0
-        n_alive = jnp.sum(alive.astype(jnp.int32))
-        cap = max(1024, r // frac)
-        if cap >= r:
-            return run(state, o, d, tn, rest, steps_used + p_steps)
-
-        def compacted(state):
-            node, sp, stack, stack_b, t_b, tri_b, u_b, v_b = state
-            (idx,) = jnp.nonzero(alive, size=cap, fill_value=0)
-            ok = jnp.arange(cap) < n_alive
-            sub = (
-                jnp.where(ok, node[idx], -1),
-                sp[idx],
-                stack[:, idx],
-                stack_b[:, idx],
-                t_b[idx],
-                tri_b[idx],
-                u_b[idx],
-                v_b[idx],
-            )
-            st, stri, su, sv = run(
-                sub, o[idx], d[idx], tn[idx], rest, steps_used + p_steps
-            )
-            return (
-                t_b.at[idx].set(jnp.where(ok, st, t_b[idx])),
-                tri_b.at[idx].set(jnp.where(ok, stri, tri_b[idx])),
-                u_b.at[idx].set(jnp.where(ok, su, u_b[idx])),
-                v_b.at[idx].set(jnp.where(ok, sv, v_b[idx])),
-            )
-
-        def full(state):
-            return run(state, o, d, tn, rest, steps_used + p_steps)
-
-        return jax.lax.cond(n_alive <= cap, compacted, full, state)
-
     r0 = origin.shape[0]
-    init = (
+    state = (
         jnp.full((r0,), root, jnp.int32),
         jnp.zeros((r0,), jnp.int32),
         jnp.zeros((depth, r0), jnp.int32),
@@ -494,7 +453,64 @@ def _trace8_phased(
         jnp.zeros((r0,), jnp.float32),
         jnp.zeros((r0,), jnp.float32),
     )
-    return run(init, origin, direction, tmin, tuple(phases), 0)
+    o_c, d_c, tn_c = origin, direction, tmin
+    overflow = jnp.bool_(False)
+    levels = []  # (idx, pre-compaction t/tri/u/v) to scatter back through
+    steps_used = 0
+    for p_steps, frac in phases:
+        take = max(0, min(p_steps, max_steps - steps_used))
+        state = _trace8(
+            rows, root, depth, o_c, d_c, tn_c, None, anyhit, hit_filter,
+            take, init_state=state, return_state=True, leaf_max=leaf_max,
+        )
+        steps_used += take
+        r = o_c.shape[0]
+        cap = max(1024, r // frac)
+        if cap >= r:
+            continue
+        alive = state[0] >= 0
+        overflow |= jnp.sum(alive.astype(jnp.int32)) > cap
+        # Pad with the OUT-OF-RANGE index r (not 0): gathers clamp and those
+        # lanes are masked dead via `ok`, and the scatter-back uses
+        # mode="drop" so padding lanes never write.  fill_value=0 would make
+        # every padding lane scatter a STALE pre-phase value onto ray 0,
+        # clobbering its fresh result whenever ray 0 survives the phase
+        # (round-2 advisor, high).
+        (idx,) = jnp.nonzero(alive, size=cap, fill_value=r)
+        ok = idx < r
+        safe = jnp.minimum(idx, r - 1)
+        levels.append((idx, state[4], state[5], state[6], state[7]))
+        state = (
+            jnp.where(ok, state[0][safe], -1),
+            state[1][safe],
+            state[2][:, safe],
+            state[3][:, safe],
+            state[4][safe],
+            state[5][safe],
+            state[6][safe],
+            state[7][safe],
+        )
+        o_c, d_c, tn_c = o_c[safe], d_c[safe], tn_c[safe]
+
+    t, tri, u, v = _trace8(
+        rows, root, depth, o_c, d_c, tn_c, None, anyhit, hit_filter,
+        max(0, max_steps - steps_used), init_state=state, leaf_max=leaf_max,
+    )
+    for idx, t_b, tri_b, u_b, v_b in reversed(levels):
+        t = t_b.at[idx].set(t, mode="drop")
+        tri = tri_b.at[idx].set(tri, mode="drop")
+        u = u_b.at[idx].set(u, mode="drop")
+        v = v_b.at[idx].set(v, mode="drop")
+    if not levels:
+        return t, tri, u, v
+
+    def fallback(_):
+        return _trace8(
+            rows, root, depth, origin, direction, tmin, tmax, anyhit,
+            hit_filter, max_steps, leaf_max=leaf_max,
+        )
+
+    return jax.lax.cond(overflow, fallback, lambda _: (t, tri, u, v), None)
 
 
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
@@ -612,28 +628,28 @@ def _trace16_compacted(
         min(phase1_steps, max_steps), return_state=True,
     )
     cap = max(128, r // tail_frac)
-    (alive_idx,) = jnp.nonzero(node >= 0, size=cap, fill_value=0)
-    alive_valid = (
-        jnp.arange(cap) < jnp.sum((node >= 0).astype(jnp.int32))
-    )
-    sub_node = jnp.where(alive_valid, node[alive_idx], -1)
+    # out-of-range padding + mode="drop" scatter: see _trace8_phased.compacted
+    # (fill_value=0 padding would clobber ray 0 with stale phase-1 state)
+    (alive_idx,) = jnp.nonzero(node >= 0, size=cap, fill_value=r)
+    alive_valid = alive_idx < r
+    safe = jnp.minimum(alive_idx, r - 1)
+    sub_node = jnp.where(alive_valid, node[safe], -1)
     sub_state = (
         sub_node,
-        t_b[alive_idx],
-        tri_b[alive_idx],
-        u_b[alive_idx],
-        v_b[alive_idx],
+        t_b[safe],
+        tri_b[safe],
+        u_b[safe],
+        v_b[safe],
     )
     st, stri, su, sv = _trace_flat16(
-        nodes16, links, root, origin[alive_idx], direction[alive_idx],
-        tmin[alive_idx], tmax[alive_idx], anyhit, hit_filter,
+        nodes16, links, root, origin[safe], direction[safe],
+        tmin[safe], tmax[safe], anyhit, hit_filter,
         max(0, max_steps - phase1_steps), init_state=sub_state,
     )
-    upd = alive_valid
-    t_b = t_b.at[alive_idx].set(jnp.where(upd, st, t_b[alive_idx]))
-    tri_b = tri_b.at[alive_idx].set(jnp.where(upd, stri, tri_b[alive_idx]))
-    u_b = u_b.at[alive_idx].set(jnp.where(upd, su, u_b[alive_idx]))
-    v_b = v_b.at[alive_idx].set(jnp.where(upd, sv, v_b[alive_idx]))
+    t_b = t_b.at[alive_idx].set(st, mode="drop")
+    tri_b = tri_b.at[alive_idx].set(stri, mode="drop")
+    u_b = u_b.at[alive_idx].set(su, mode="drop")
+    v_b = v_b.at[alive_idx].set(sv, mode="drop")
     return t_b, tri_b, u_b, v_b
 
 
@@ -781,25 +797,35 @@ def trace(
     return HitRecord(t=t_best, tri=tri_best, u=u_best, v=v_best)
 
 
-def make_alpha_hit_filter(scene):
+def make_alpha_hit_filter(scene, tables=None):
     """Non-opaque any-hit alpha test (shadow_anyhit.rahit:10-26): reject hits whose
-    base-color alpha at the hit uv is below the material's cutoff."""
-    from vulkanhybridrenderer_tpu.ops.texture import sample_atlas_bilinear
+    base-color alpha at the hit uv is below the material's cutoff.
+
+    Gathers through the fused shade tables (ops/shadetab.py): 1 tri-static row
+    (3 vertex uvs) + 1 prim row (material + atlas scale/offset) + 4 atlas4
+    rows per bilinear tap = 6 indices/candidate, vs ~26 on the round-1
+    per-channel path.  `tables=None` rebuilds them in-trace (test
+    convenience); production callers pass the scene-cached tables."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
+    if tables is None:
+        tables = shadetab.build_shade_tables(scene)
 
     def hit_filter(tri, u, v, candidate):
         prim = scene.tri_prim[tri]
-        masked = scene.materials.alpha_mask[prim] == 1
-        tex = scene.materials.base_color_texture[prim]
+        pm = shadetab.fetch_prim(tables.prim_rows, prim)
+        uvv = shadetab.fetch_tri_uv(tables, tri)  # (R, 3, 2)
         w0 = 1.0 - u - v
-        uu0, uu1 = scene.uv0[:, 0], scene.uv0[:, 1]
-
-        def uv_at(j):
-            vj = scene.tri_vertex[:, j][tri]
-            return jnp.stack([uu0[vj], uu1[vj]], axis=-1)
-
-        uv = uv_at(0) * w0[:, None] + uv_at(1) * u[:, None] + uv_at(2) * v[:, None]
-        alpha = sample_atlas_bilinear(scene.atlas, tex, uv)[..., 3]
-        reject = masked & (tex >= 0) & (alpha < scene.materials.alpha_cutoff[prim])
+        wts = jnp.stack([w0, u, v], axis=-1)  # (R, 3)
+        uv = shadetab.interpolate3(uvv, wts)
+        alpha = shadetab.sample_atlas4(
+            tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], uv
+        )[..., 3]
+        reject = (
+            (pm["alpha_mask"] == 1.0)
+            & (pm["base_tex"] >= 0)
+            & (alpha < pm["alpha_cutoff"])
+        )
         return ~reject
 
     return hit_filter

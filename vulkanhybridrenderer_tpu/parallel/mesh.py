@@ -88,7 +88,8 @@ def make_sharded_frame_fn(graph, mesh: Mesh, height: int, width: int,
 # Triangle-sharded ("sort-last") rasterization
 # ---------------------------------------------------------------------------
 def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
-                            alpha: bool = True, cull_backface: bool = True):
+                            alpha: bool = True, cull_backface: bool = True,
+                            tables=None):
     """Distribute rasterization across the mesh: classic sort-last parallel
     rendering, TPU-idiomatic.  Each device bins + rasterizes 1/N of the
     TRIANGLES over the full frame (the binning sort and the tile kernel both
@@ -206,7 +207,7 @@ def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
     if use_alpha:
         # replicated alpha brute pass over the (few) masked triangles
         idx = scene.alpha_tri_idx
-        base_mask = _gbuffer.make_alpha_frag_mask(scene)
+        base_mask = _gbuffer.make_alpha_frag_mask(scene, tables=tables)
 
         def local_mask(tri_local, wts):
             return base_mask(idx[tri_local], wts)

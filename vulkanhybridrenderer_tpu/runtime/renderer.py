@@ -75,6 +75,14 @@ class Renderer:
     def _key(self):
         return (self.path_name, self.config)
 
+    @staticmethod
+    def _platform() -> str:
+        """Effective execution platform, honoring jax.default_device overrides
+        (the multichip dryrun runs on a virtual CPU mesh while the session
+        backend is still the real TPU)."""
+        dev = getattr(jax.config, "jax_default_device", None)
+        return getattr(dev, "platform", None) or jax.default_backend()
+
     def _get_frame_fn(self):
         key = self._key()
         if key not in self._frame_fns:
@@ -91,7 +99,20 @@ class Renderer:
             else:
                 fn = graph.make_frame_fn(RENDER_OUTPUT, keep=keep)
             self._graphs[key] = graph
-            self._frame_fns[key] = (jax.jit(fn), path)
+            if path.uses_temporal_state:
+                # The temporal-state pytree is DONATED: XLA aliases the history
+                # buffers in-place instead of copying them every frame (the
+                # reference's in-place storage-image history,
+                # hybrid_render_path.cpp:245-262).  Donation is a no-op (with a
+                # warning) on CPU, so only request it on TPU.
+                def fn2(resources, temporal_state, _fn=fn):
+                    return _fn({**resources, "temporal_state": temporal_state})
+
+                donate = (1,) if self._platform() == "tpu" else ()
+                jfn = jax.jit(fn2, donate_argnums=donate)
+            else:
+                jfn = jax.jit(fn)
+            self._frame_fns[key] = (jfn, path)
         return self._frame_fns[key]
 
     # -- per-frame data (renderer.cpp:187-205) -------------------------------------
@@ -205,7 +226,12 @@ class Renderer:
             self._binning_checked = True
             self.check_binning(pfd)
         t0 = time.perf_counter()
-        out = fn(self._resources(pfd))
+        res = self._resources(pfd)
+        if path.uses_temporal_state:
+            ts = res.pop("temporal_state")
+            out = fn(res, ts)
+        else:
+            out = fn(res)
         if sync:
             jax.block_until_ready(out)
             self.stats.update_frame((time.perf_counter() - t0) * 1e3)
