@@ -23,17 +23,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def sync(out):
+    """Force completion: on the tunneled runtime block_until_ready can return
+    without waiting, so fetch one element of the first leaf to the host."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])  # 1-element device slice -> host
+
+
 def timeit(fn, *args, iters=5, warm=2, **kw):
-    """Pipelined min-of-iters wall ms; sync via tiny reduction when possible."""
+    """Pipelined min-of-iters wall ms; completion forced by a host fetch."""
     for _ in range(warm):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, (time.perf_counter() - t0) * 1e3 / iters)
     return best
 

@@ -16,6 +16,14 @@ Cases:
   4. RT shadow region of an axis-aligned box on the ground == analytic
      shadow volume projection (away from the penumbra boundary)
   5. motion vectors of a static scene under a static camera == 0
+  6. RT AO bounds: unoccluded plane == 1 exactly; inside a closed room whose
+     longest interior chord < AO tmax == 0 exactly (every ray hits) —
+     independent of the sample draws
+  7. SVGF temporal EMA: constant signal + valid reprojection converges as
+     c + (h0 - c) * 0.8^n (alpha = 0.2 closed form); a constant field passes
+     the a-trous filter unchanged
+  8. mirror reflection geometry: reflected red/blue wall classification at
+     the analytically-mirrored ray's hit, derived in numpy
 """
 import numpy as np
 import pytest
@@ -220,6 +228,204 @@ def test_static_motion_vectors_zero():
     valid = depth > 0
     np.testing.assert_allclose(mv[0][valid], 0.0, atol=1e-5)
     np.testing.assert_allclose(mv[1][valid], 0.0, atol=1e-5)
+
+
+def test_rt_ao_bounds_closed_form():
+    """RT ambient occlusion at its two exact bounds, independent of the cone /
+    hemisphere sample draws: an unoccluded plane has AO == 1 (every ray
+    misses), and a floor inside a closed room whose longest interior chord is
+    below AO tmax (5.0, raygen.rgen:52) has AO == 0 (every ray hits)."""
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+
+    cfg = RenderConfig(
+        width=W, height=H, shadow_map_size=64,
+        hybrid=HybridSettings(
+            shadow_mode=ShadowMode.RAYTRACED,
+            ao_mode=AmbientOcclusionMode.RAYTRACED,
+        ),
+    )
+
+    # -- open plane: AO exactly 1 ------------------------------------------------
+    b = SceneBuilder()
+    b.add(quad_mesh((30.0, 30.0)), translate([0, 0, 0]),
+          base_color=(0.6, 0.6, 0.6, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0, yaw=0.0,
+                 pitch=-0.9, roll=0.0,
+                 position=np.array([0.0, 4.0, 6.0], np.float32))
+    light = make_directional_light([0.2, -0.9, -0.3], intensity=2.0)
+    r = Renderer(b.build("OpenPlane", cam, light), cfg, path="hybrid")
+    sa = np.asarray(r.fetch_resource("Raytraced Shadows and Ambient Occlusion"))
+    depth = np.asarray(r.fetch_resource("Depth"))
+    covered = _erode(depth > 0, 2)
+    assert covered.mean() > 0.3
+    np.testing.assert_allclose(sa[1][covered], 1.0, atol=1e-6)
+
+    # -- closed low room: AO exactly 0 ------------------------------------------
+    # interior 2.4 x 1.5 x 2.4 -> longest chord sqrt(2.4^2+2.4^2+1.5^2) = 3.7 < 5
+    b = SceneBuilder()
+    wh = 1.2  # half-extent of the room in x/z
+    hgt = 1.5
+    mat = dict(base_color=(0.7, 0.7, 0.7, 1.0), metallic_factor=0.0,
+               roughness_factor=0.9)
+    b.add(box_mesh((wh, 0.05, wh)), translate([0, -0.05, 0]), **mat)  # floor
+    b.add(box_mesh((wh, 0.05, wh)), translate([0, hgt + 0.05, 0]), **mat)
+    b.add(box_mesh((wh, hgt / 2 + 0.1, 0.05)),
+          translate([0, hgt / 2, -wh]), **mat)  # back
+    b.add(box_mesh((wh, hgt / 2 + 0.1, 0.05)),
+          translate([0, hgt / 2, wh]), **mat)  # front
+    b.add(box_mesh((0.05, hgt / 2 + 0.1, wh)),
+          translate([-wh, hgt / 2, 0]), **mat)
+    b.add(box_mesh((0.05, hgt / 2 + 0.1, wh)),
+          translate([wh, hgt / 2, 0]), **mat)
+    cam = Camera(yfov=np.deg2rad(70.0), znear=0.05, aspect=1.0, yaw=0.0,
+                 pitch=-1.1, roll=0.0,
+                 position=np.array([0.0, 1.0, 0.4], np.float32))
+    r = Renderer(b.build("ClosedRoom", cam, light), cfg, path="hybrid")
+    sa = np.asarray(r.fetch_resource("Raytraced Shadows and Ambient Occlusion"))
+    depth = np.asarray(r.fetch_resource("Depth"))
+    covered = _erode(depth > 0, 2)
+    assert covered.mean() > 0.5, "camera should see the room interior"
+    np.testing.assert_allclose(sa[1][covered], 0.0, atol=1e-6)
+
+
+def test_svgf_temporal_ema_closed_form():
+    """Op-level SVGF against the closed-form EMA: with a constant input signal
+    c, zero motion, and valid reprojection, the integrated history after n
+    frames is c + (h0 - c) * (1 - alpha)^n with alpha = 0.2 (svgf.comp:104-106)
+    — and a constant field passes the edge-stopping a-trous filter unchanged
+    (normalized weights), so the history (written from a-trous iteration 0,
+    hybrid_render_path.cpp:310-314) and the denoised output equal the
+    temporal result exactly."""
+    import jax.numpy as jnp
+
+    from vulkanhybridrenderer_tpu.core.types import TemporalState
+    from vulkanhybridrenderer_tpu.ops import svgf
+
+    h, w = 24, 32
+    n_frames = 4
+    c_shadow, c_ao = 0.37, 0.81
+    h0_shadow, h0_ao = 0.93, 0.12
+    normal_oid = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.asarray([0.0, 0.0, 1.0])[:, None, None], (3, h, w)
+            ),
+            jnp.full((1, h, w), 5.0),
+        ]
+    )
+    motion_mr = jnp.zeros((4, h, w))
+    shadow_ao = jnp.stack(
+        [
+            jnp.full((h, w), c_shadow),
+            jnp.full((h, w), c_ao),
+            jnp.zeros((h, w)),
+            jnp.ones((h, w)),
+        ]
+    )
+    state = TemporalState(
+        shadow_ao_history=jnp.stack(
+            [jnp.full((h, w), h0_shadow), jnp.full((h, w), h0_ao)]
+        ),
+        # moments consistent with a constant history (variance 0)
+        moments_history=jnp.stack(
+            [
+                jnp.full((h, w), h0_shadow),
+                jnp.full((h, w), h0_shadow**2),
+                jnp.full((h, w), h0_ao),
+                jnp.full((h, w), h0_ao**2),
+            ]
+        ),
+        prev_normal_oid=normal_oid,  # valid reprojection from frame 1
+    )
+    hs, ha = h0_shadow, h0_ao
+    for n in range(1, n_frames + 1):
+        denoised, state = svgf.denoise(normal_oid, motion_mr, shadow_ao, state)
+        hs = 0.2 * c_shadow + 0.8 * hs  # the reference's integration formula
+        ha = 0.2 * c_ao + 0.8 * ha
+        np.testing.assert_allclose(
+            np.asarray(state.shadow_ao_history[0]), hs, atol=1e-5,
+            err_msg=f"shadow history after frame {n}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.shadow_ao_history[1]), ha, atol=1e-5,
+            err_msg=f"ao history after frame {n}",
+        )
+        # constant field -> a-trous is the identity -> denoised == integrated
+        np.testing.assert_allclose(np.asarray(denoised[0]), hs, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(denoised[1]), ha, atol=1e-5)
+
+
+def test_mirror_reflection_geometry():
+    """Hybrid RT reflections classified against numpy-mirrored rays: a floor
+    mirror reflects a red (left) / blue (right) wall; each floor pixel's
+    reflected color must match the analytic classification of the mirrored
+    camera ray's wall hit (away from the color boundary / wall edges)."""
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+
+    b = SceneBuilder()
+    b.add(quad_mesh((6.0, 6.0)), translate([0, 0, 0]),
+          base_color=(1.0, 1.0, 1.0, 1.0), metallic_factor=1.0,
+          roughness_factor=0.0)  # mirror floor
+    wall_z = -5.0
+    red_lo = np.array([-4.0, 0.0, wall_z - 0.2])
+    red_hi = np.array([0.0, 4.0, wall_z + 0.2])
+    blue_lo = np.array([0.0, 0.0, wall_z - 0.2])
+    blue_hi = np.array([4.0, 4.0, wall_z + 0.2])
+    b.add(box_mesh((2.0, 2.0, 0.2)), translate([-2.0, 2.0, wall_z]),
+          base_color=(0.9, 0.05, 0.05, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    b.add(box_mesh((2.0, 2.0, 0.2)), translate([2.0, 2.0, wall_z]),
+          base_color=(0.05, 0.05, 0.9, 1.0), metallic_factor=0.0,
+          roughness_factor=0.9)
+    cam_pos = np.array([0.0, 2.0, 5.0], np.float32)
+    pitch = -0.55
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0, yaw=0.0,
+                 pitch=pitch, roll=0.0, position=cam_pos)
+    ldir = np.array([0.2, -0.9, -0.3])
+    light = make_directional_light(ldir.tolist(), intensity=2.0)
+    scene = b.build("MirrorWalls", cam, light)
+    cfg = RenderConfig(
+        width=W, height=H, shadow_map_size=64,
+        hybrid=HybridSettings(
+            shadow_mode=ShadowMode.RAYTRACED,
+            reflection_mode=ReflectionMode.RAYTRACED,
+        ),
+    )
+    r = Renderer(scene, cfg, path="hybrid")
+    refl = np.asarray(r.fetch_resource("Raytraced Reflections"))
+    oid = np.asarray(
+        r.fetch_resource("World Space Normals and Object IDs")
+    )[3]
+    depth = np.asarray(r.fetch_resource("Depth"))
+
+    # numpy ground truth: pixel ray -> floor point -> mirror (dy -> -dy) ->
+    # first wall AABB hit
+    d_cam = _camera_rays(cam_pos, np.deg2rad(60.0), 1.0, W, H)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    rot = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    d_world = d_cam @ rot.T
+    t_floor = np.where(d_world[..., 1] < -1e-6, -cam_pos[1] / d_world[..., 1],
+                       np.inf)
+    p_floor = cam_pos + d_world * t_floor[..., None]
+    on_mirror = (
+        np.isfinite(t_floor)
+        & (np.abs(p_floor[..., 0]) < 6.0)
+        & (np.abs(p_floor[..., 2]) < 6.0)
+    )
+    d_ref = d_world * np.array([1.0, -1.0, 1.0])
+    o_ref = p_floor + np.array([0.0, 0.1, 0.0])  # P + 0.1 * N (raygen.rgen:29)
+    hit_r, tn_r = _ray_aabb(o_ref, d_ref, red_lo, red_hi, tmin=0.01)
+    hit_b, tn_b = _ray_aabb(o_ref, d_ref, blue_lo, blue_hi, tmin=0.01)
+
+    floor_px = (oid == 0) & (depth > 0) & on_mirror
+    red_px = _erode(floor_px & hit_r & ~hit_b, 2)
+    blue_px = _erode(floor_px & hit_b & ~hit_r, 2)
+    miss_px = _erode(floor_px & ~hit_r & ~hit_b, 2)
+    assert red_px.sum() > 30 and blue_px.sum() > 30 and miss_px.sum() > 30
+    assert (refl[0][red_px] > refl[2][red_px]).all(), "red wall reflection"
+    assert (refl[2][blue_px] > refl[0][blue_px]).all(), "blue wall reflection"
+    np.testing.assert_allclose(refl[:3][:, miss_px], 0.0, atol=1e-6)
 
 
 def test_camera_plane_crossing_floor():

@@ -43,8 +43,9 @@ def perspective_weights(bary2, inv_w3):
 def interpolate(attr_v, vidx, weights):
     """attr_v: (V, K) vertex attribute; vidx: (..., 3); weights: (..., 3) -> (..., K).
 
-    Gathers one scalar column at a time: XLA TPU lowers (V, K)[idx] row gathers
-    ~300x slower than flat 1-D gathers (see rasterizer_tiled._pack_planes)."""
+    Reference-path helper (tests): production resolves interpolate through the
+    fused TriRow gather tables instead (ops/shadetab.py, 1 row gather for all
+    three vertices' attributes)."""
     k = attr_v.shape[1]
     out = None
     for j in range(3):

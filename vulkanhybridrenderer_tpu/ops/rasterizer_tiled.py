@@ -6,15 +6,20 @@ against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
 60 FPS.  This module implements the classic GPU binned approach, TPU-first:
 
   1. `bin_triangles` (pure jnp, fully vectorized): per-triangle screen bbox ->
-     covered tile range; triangles spanning <= `expand_cap` tiles emit one entry
-     per covered tile into a fixed (T * expand_cap) entry table (padding entries
-     sort to a sentinel tile); larger spans go through two COMPACTED medium
-     tiers (span <= 64 / <= 256 tile entries from capped side lists) and spans
-     beyond MED2_SPAN to a small "big" list that every tile tests.  A single
-     stable argsort by tile id + a searchsorted + an aligned re-pack yields
-     CHUNK-aligned per-tile entry ranges -- no atomics (the GPU version's
-     per-bin atomic counters don't exist on TPU; sorting is the idiomatic
-     replacement).  Entries are the HOMOGENEOUS plane equations of
+     covered tile range; entries are enumerated COMPACTLY at their true count
+     (sum of per-triangle tile spans) via the head-marking trick -- scatter a
+     1 at each triangle's exclusive-cumsum(span) start, cumsum to recover the
+     owning triangle per entry -- so the sort/scatter/gather machinery runs at
+     ~sum(span) width instead of the round-2 dense (T * 16 + tier caps) width
+     (2.6M -> ~0.4M entries on SponzaProxy@1080p: this was ~100 ms of every
+     raster pass).  Any span is exact -- there are no capped side tiers and no
+     per-tile-tested "big" list; one static `e_cap` bounds total entries and
+     is validated host-side (Bins.overflow / Renderer.check_binning).  One
+     multi-operand stable `lax.sort` by tile id carries the triangle ids with
+     the keys (no post-sort permutation gathers), a searchsorted + aligned
+     re-pack yields CHUNK-aligned per-tile entry ranges -- no atomics (the
+     GPU version's per-bin atomic counters don't exist on TPU; sorting is the
+     idiomatic replacement).  Entries are the HOMOGENEOUS plane equations of
      ops/rasterizer.triangle_setup (lambda_i/w and ndc-z are affine in screen
      space): 13 coefficients [l0|l1|l2|z as A*px+B*py+C, tri_id], gathered as
      one row per entry from a per-triangle plane table.
@@ -59,19 +64,20 @@ TILE_W = 128
 CHUNK = 128  # triangles per DMA chunk (lane count of a plane-coefficient block)
 TILES_PER_PROG = 128  # tiles (columns) per grid program
 GROUP = 8  # entry blocks fetched per DMA (amortizes DMA latency)
-MED1_SPAN = 64  # tile-span ceiling of the first compacted medium tier
-MED2_SPAN = 256  # ... second tier; span > MED2_SPAN goes to the global big list
-
-
-def _med_caps(t: int):
-    """Static capacities of the two compacted medium tiers (validated against
-    actual counts by Bins.overflow / Renderer.check_binning)."""
-    return max(4096, t // 16), max(512, t // 64)
 
 # rows of the packed plane SoA (16, CHUNK):
 # 0..2  lam0 = A*px + B*py + C          3..5  lam1        6..8  lam2
 # 9..11 z plane                         12    tri id (exact float)
 _NFIELDS = 16
+
+
+def default_e_cap(t: int, npix: int) -> int:
+    """Static total-entry capacity: ~sum of per-triangle tile spans plus slack.
+    Spans grow with resolution (a triangle's pixel area scales with npix), so
+    high-res targets (4096^2 shadow maps) get a larger multiple.  Validated
+    against the actual count by Bins.overflow / Renderer.check_binning."""
+    mult = 4 if npix <= (1 << 22) else 10
+    return max(65536, mult * t)
 
 
 @jax.tree_util.register_dataclass
@@ -81,11 +87,9 @@ class Bins:
     offsets: Any  # (ntiles_pad + 1,) int32 CHUNK-aligned entry start per tile
     counts: Any  # (ntiles_pad,) int32 actual entry count per tile
     chunk_tile: Any  # (nblocks,) int32 owning tile of each 128-entry block
-    big_data: Any  # (16, CHUNK) f32 plane rows of the "big" triangles
-    num_big: Any  # () int32
-    #: (3,) int32 excess of [medium-tier-1, medium-tier-2, big] candidates over
-    #: their static caps.  Nonzero = triangles were dropped; the renderer
-    #: validates this is all-zero at scene load (Renderer._validate_binning).
+    #: (1,) int32 excess of total tile entries over the static e_cap.
+    #: Nonzero = triangles were dropped; the renderer validates this is zero
+    #: on the first frame (Renderer.check_binning).
     overflow: Any = None
 
 
@@ -108,24 +112,9 @@ def _plane_table(setup: TriangleSetup):
     return tab
 
 
-def _pack_planes(setup: TriangleSetup, tri_ids, valid=None, table=None):
-    """Triangles -> plane-coefficient rows (16, K) f32 via the plane table."""
-    tab = _plane_table(setup) if table is None else table
-    t = setup.sx.shape[0]
-    safe = tri_ids if valid is None else jnp.where(valid, tri_ids, t)
-    return tab[safe].T
-
-
-def _blocks(packed):
-    """(16, K) -> (K // CHUNK, 16, CHUNK) block-major layout for whole-block DMA."""
-    nf, k = packed.shape
-    nblocks = k // CHUNK
-    return packed.reshape(nf, nblocks, CHUNK).transpose(1, 0, 2)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "expand_cap", "big_cap",
+    static_argnames=("width", "height", "tile_h", "tile_w", "e_cap",
                      "cull_backface"),
 )
 def bin_triangles(
@@ -134,16 +123,16 @@ def bin_triangles(
     height: int,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
-    expand_cap: int = 16,
-    big_cap: int = CHUNK,
+    e_cap: int | None = None,
     cull_backface: bool = True,
     exclude_mask=None,
 ) -> Bins:
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
     t = setup.sx.shape[0]
+    if e_cap is None:
+        e_cap = default_e_cap(t, width * height)
 
-    sx, sy = setup.sx, setup.sy
     alive = setup.valid & setup.w_any  # fully-behind-camera: never visible
     if cull_backface:
         alive &= setup.front  # det < 0 (see ops/rasterizer.py)
@@ -161,54 +150,39 @@ def bin_triangles(
     ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, nty - 1)
     ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, nty - 1)
     wspan = tx1 - tx0 + 1
-    hspan = ty1 - ty0 + 1
-    span = wspan * hspan
-    small = alive & (span <= expand_cap)
-    # Medium triangles (span 17..MED2_SPAN) get real per-tile entries via
-    # COMPACTED side lists (a dense t x span_cap enumeration would be
-    # padding-dominated); only span > MED2_SPAN triangles fall to the global
-    # per-tile-tested "big" list.  Round 1 sent every span > 16 triangle to the
-    # 128-cap big list, silently DROPPING thousands of triangles at 1080p/4k
-    # shadow-map resolutions (measured: bistro 4096^2 pegged the cap with 15.7k
-    # candidates).  Overflow counts are reported in Bins for host validation.
-    med1 = alive & (span > expand_cap) & (span <= MED1_SPAN)
-    med2 = alive & (span > MED1_SPAN) & (span <= MED2_SPAN)
-    big = alive & (span > MED2_SPAN)
-    med1_cap, med2_cap = _med_caps(t)
+    span = jnp.where(alive, wspan * (ty1 - ty0 + 1), 0)
 
-    # ---- small-triangle entries: enumerate bbox tiles row-major ----------------
-    k = jnp.arange(expand_cap, dtype=jnp.int32)[None, :]  # (1, E)
-    ty = ty0[:, None] + k // wspan[:, None]
-    tx = tx0[:, None] + k % wspan[:, None]
-    valid_e = small[:, None] & (k < span[:, None])
-    tile_id = jnp.where(valid_e, ty * ntx + tx, ntiles).astype(jnp.int32)
-    tile_flat = tile_id.reshape(-1)
-    tri_flat = jnp.broadcast_to(
-        jnp.arange(t, dtype=jnp.int32)[:, None], (t, expand_cap)
-    ).reshape(-1)
+    # ---- compact entry enumeration (head marking) ------------------------------
+    # Entry e belongs to the triangle whose exclusive-cumsum(span) segment
+    # contains e.  Scatter-max each alive triangle's id+1 at its segment
+    # start, cummax back to fill the segments: every array here is e_cap-wide
+    # (~sum(span)), not dense T x span_cap.  (Scatter-max, not add: several
+    # triangles can share a start position when zero-span ones sit between.)
+    cum = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(span).astype(jnp.int32)]
+    )  # (T + 1,) exclusive starts; cum[T] = true total entry count
+    total = cum[t]
+    overflow = jnp.maximum(total - e_cap, 0)[None]
+    heads = (
+        jnp.zeros(e_cap, jnp.int32)
+        .at[cum[:t]]
+        .max(jnp.where(span > 0, jnp.arange(t, dtype=jnp.int32) + 1, 0),
+             mode="drop")
+    )
+    tri_of = jnp.clip(jax.lax.cummax(heads) - 1, 0, t - 1)
+    e_iota = jnp.arange(e_cap, dtype=jnp.int32)
+    k = e_iota - cum[tri_of]  # row-major index into the triangle's tile bbox
+    ws = jnp.maximum(wspan[tri_of], 1)
+    tile = (ty0[tri_of] + k // ws) * ntx + (tx0[tri_of] + k % ws)
+    valid_e = e_iota < jnp.minimum(total, e_cap)
+    tile = jnp.where(valid_e, tile, ntiles).astype(jnp.int32)
 
-    def med_entries(mask, cap, span_cap):
-        """Compacted (cap, span_cap) tile enumeration of `mask` triangles."""
-        (idx,) = jnp.nonzero(mask, size=cap, fill_value=0)
-        n = jnp.sum(mask.astype(jnp.int32))
-        slot_ok = jnp.arange(cap) < n
-        kk = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
-        ws = wspan[idx][:, None]
-        tyk = ty0[idx][:, None] + kk // ws
-        txk = tx0[idx][:, None] + kk % ws
-        ok = slot_ok[:, None] & (kk < span[idx][:, None])
-        tiles = jnp.where(ok, tyk * ntx + txk, ntiles).astype(jnp.int32)
-        tris = jnp.broadcast_to(idx[:, None].astype(jnp.int32), tiles.shape)
-        return tiles.reshape(-1), tris.reshape(-1), n
-
-    m1_tiles, m1_tris, n_med1 = med_entries(med1, med1_cap, MED1_SPAN)
-    m2_tiles, m2_tris, n_med2 = med_entries(med2, med2_cap, MED2_SPAN)
-    tile_flat = jnp.concatenate([tile_flat, m1_tiles, m2_tiles])
-    tri_flat = jnp.concatenate([tri_flat, m1_tris, m2_tris])
-
-    order = jnp.argsort(tile_flat, stable=True)
-    tile_sorted = tile_flat[order]
-    tri_sorted = tri_flat[order]
+    # ---- group by tile: ONE multi-operand stable sort --------------------------
+    # (carrying tri ids through lax.sort avoids the two e_cap-wide permutation
+    # gathers an argsort + apply formulation pays)
+    tile_sorted, tri_sorted = jax.lax.sort(
+        (tile, tri_of), dimension=0, is_stable=True, num_keys=1
+    )
     offsets_raw = jnp.searchsorted(
         tile_sorted, jnp.arange(ntiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
@@ -219,9 +193,6 @@ def bin_triangles(
     aligned_counts = ((counts + CHUNK - 1) // CHUNK) * CHUNK
     offsets = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
-    )
-    e_total = (
-        t * expand_cap + med1_cap * MED1_SPAN + med2_cap * MED2_SPAN
     )
     # pad tile tables to a multiple of TILES_PER_PROG (padding tiles are empty)
     ntiles_pad = ((ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG) * TILES_PER_PROG
@@ -234,18 +205,17 @@ def bin_triangles(
         )
     else:
         offsets_pad, counts_pad = offsets, counts
-    d_total = (((e_total + CHUNK - 1) // CHUNK) + ntiles + GROUP) * CHUNK  # static (+GROUP: group-DMA slack)
+    # static dense size: every tile's alignment waste is < CHUNK (+GROUP slack)
+    d_total = (((e_cap + CHUNK - 1) // CHUNK) + ntiles + GROUP) * CHUNK
     valid_entry = tile_sorted < ntiles
-    rank = jnp.arange(e_total, dtype=jnp.int32) - offsets_raw[
-        jnp.minimum(tile_sorted, ntiles - 1)
-    ]
+    rank = e_iota - offsets_raw[jnp.minimum(tile_sorted, ntiles - 1)]
     dest = jnp.where(
         valid_entry,
         offsets[jnp.minimum(tile_sorted, ntiles - 1)] + rank,
         d_total,  # dumped into the trailing scratch slot
     )
     # one fused scatter: slot value = tri + 1, 0 = empty (avoids a second
-    # boolean-validity scatter; scatters at entry count cost ~15-25 ms each)
+    # boolean-validity scatter; scatters cost ~8 ns per index)
     tri_plus = (
         jnp.zeros(d_total + 1, jnp.int32)
         .at[dest]
@@ -265,25 +235,11 @@ def bin_triangles(
     )
     chunk_tile = jnp.clip(chunk_tile, 0, ntiles_pad - 1)
 
-    # ---- big list: one VMEM-resident plane block tested by every tile ----------
-    (big_idx,) = jnp.nonzero(big, size=big_cap, fill_value=0)
-    num_big = jnp.minimum(jnp.sum(big.astype(jnp.int32)), big_cap)
-    big_ids = jnp.pad(big_idx.astype(jnp.int32), (0, CHUNK - big_cap))
-    big_valid = jnp.arange(CHUNK) < num_big
-    big_data = _pack_planes(setup, big_ids, valid=big_valid, table=plane_tab)
-
-    overflow = jnp.stack([
-        jnp.maximum(n_med1 - med1_cap, 0),
-        jnp.maximum(n_med2 - med2_cap, 0),
-        jnp.maximum(jnp.sum(big.astype(jnp.int32)) - big_cap, 0),
-    ])
     return Bins(
         entry_data=entry_data,
         offsets=offsets_pad,
         counts=counts_pad,
         chunk_tile=chunk_tile,
-        big_data=big_data,
-        num_big=num_big,
         overflow=overflow,
     )
 
@@ -293,10 +249,8 @@ def _raster_kernel(
     offsets_ref,  # (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
     counts_ref,  # (ntiles_pad,) SMEM (true entry counts)
     ctile_ref,  # (nblocks,) SMEM (owning tile per block)
-    nbig_ref,  # (1,) SMEM (number of valid big triangles)
     # inputs
     entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
-    big_ref,  # (16, CHUNK) VMEM: plane rows of the <=128 "big" triangles
     # outputs ((npx, TILES_PER_PROG) block: one column per tile of this program)
     depth_out,
     tri_out,
@@ -316,10 +270,9 @@ def _raster_kernel(
     (not per-tile loops -- per-tile setup cost dominated the previous design).
     Each block knows its owning tile via ctile_ref; per block: DMA wait/start,
     (npx, CHUNK) broadcast-FMA coverage/depth, winner reduction, and a masked merge
-    into the owning tile's output column.  "Big" triangles (screen span beyond the
-    binning cap -- walls/floors, <= CHUNK of them) live in one VMEM-resident block
-    tested once per tile after the stream.  Pixels on sublanes, triangles on lanes:
-    zero relayouts."""
+    into the owning tile's output column.  Pixels on sublanes, triangles on lanes:
+    zero relayouts.  (Arbitrary-span triangles get exact per-tile entries from
+    the compact binning enumeration -- there is no separate "big" list.)"""
     j = pl.program_id(0)
     npx = tile_h * tile_w
     flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
@@ -438,23 +391,6 @@ def _raster_kernel(
     )
     blocks = jax.lax.fori_loop(0, ngroups, group_body, blocks0)
 
-    # ---- big triangles: one VMEM block tested against every live tile ----------
-    nbig = nbig_ref[0]
-    big_planes = big_ref[...]
-
-    def big_body(s, blocks):
-        tile = j * TILES_PER_PROG + s
-        pxg, pyg = tile_coords(tile)
-        n_valid = jnp.where(tile < ntiles, nbig, 0)
-        return tile_update(big_planes, s, n_valid, pxg, pyg, blocks)
-
-    blocks = jax.lax.cond(
-        nbig > 0,
-        lambda blocks: jax.lax.fori_loop(0, TILES_PER_PROG, big_body, blocks),
-        lambda blocks: blocks,
-        blocks,
-    )
-
     bz, bt, bb1, bb2, bbs = blocks
     depth_out[...] = bz
     tri_out[...] = bt.astype(jnp.int32)
@@ -483,11 +419,10 @@ def rasterize_binned(
     npx = tile_h * tile_w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(ntiles_pad // TILES_PER_PROG,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # big plane block resident
         ],
         # one column per tile, TILES_PER_PROG columns per program block; untiled
         # to (H, W) below in XLA.
@@ -525,9 +460,7 @@ def rasterize_binned(
         bins.offsets,
         bins.counts,
         bins.chunk_tile,
-        jnp.reshape(bins.num_big, (1,)),
         bins.entry_data,
-        bins.big_data,
     )
 
     def untile(a):
@@ -583,11 +516,9 @@ def rasterize_scene(
 ) -> VisibilityBuffer:
     """Full-scene visibility buffer via the binned Pallas kernel.
 
-    Three streams, depth-merged:
-      * small/medium opaque triangles -> binning + the flat-stream tile kernel;
-      * "big" triangles (screen span > expand_cap tiles: near walls/floors, a
-        handful) -> the brute full-screen rasterizer (cheap for few triangles,
-        and they'd otherwise bloat every tile's entry list);
+    Two streams, depth-merged:
+      * opaque triangles (any screen span -- the compact binning enumerates
+        exact per-tile entries) -> binning + the flat-stream tile kernel;
       * alpha-masked triangles -> brute with the per-fragment alpha kill
         (gbuf.frag:27-32 semantics; needs atlas taps).
     `alpha=False` renders masked geometry solid (the shadow-map depth prepass has

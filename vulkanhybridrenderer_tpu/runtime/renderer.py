@@ -206,10 +206,10 @@ class Renderer:
             ov = np.asarray(bins.overflow)
             if (ov > 0).any():
                 raise RuntimeError(
-                    f"binned rasterizer tier overflow at {w}x{h}: "
-                    f"[med1, med2, big] excess = {ov.tolist()} — triangles "
-                    "would be dropped; raise the caps in "
-                    "ops/rasterizer_tiled.bin_triangles"
+                    f"binned rasterizer entry overflow at {w}x{h}: "
+                    f"{int(ov[0])} tile entries over the static e_cap — "
+                    "triangles would be dropped; raise e_cap "
+                    "(ops/rasterizer_tiled.default_e_cap) for this scene"
                 )
 
     # -- frame loop -----------------------------------------------------------------
