@@ -135,3 +135,41 @@ def test_atrium_golden(loaded):
         (np.clip(img, 0, 1) - np.clip(golden, 0, 1)) ** 2
     )))
     assert err <= 2e-3, f"atrium golden RMSE {err:.5f}"
+
+
+# ---------------------------------------------------------------------------
+# Sponza-class benchmark asset (round-3, VERDICT item 9)
+# ---------------------------------------------------------------------------
+def test_sponza_class_glb(tmp_path):
+    """The Sponza-scale generated GLB loads through the full reader with its
+    asset-scale properties intact: at scale=1 it carries >= 250k triangles
+    and >= 32 distinct textures (BASELINE.md configs 3/5 are real-asset
+    scale); a scaled-down variant renders finite frames through the hybrid
+    path on CPU."""
+    from vulkanhybridrenderer_tpu.core.config import HybridSettings, ShadowMode
+
+    # full-scale structural check (geometry build only -- no render)
+    path = tmp_path / "SponzaClass.glb"
+    truth = sample_asset.build_sponza_class_glb(path)
+    scene = gltf.load_scene(path)
+    assert scene.buffers.num_triangles >= 250_000
+    assert scene.buffers.atlas.num_textures >= 32
+    assert truth["textures"] >= 32
+    assert scene.buffers.num_primitives == truth["prims"] >= 300
+    assert scene.buffers.has_alpha_mask
+    assert scene.buffers.has_normal_maps
+    assert scene.buffers.has_mr_textures
+
+    # small-scale end-to-end render (same generator, fewer subdivisions)
+    path_s = tmp_path / "SponzaClassSmall.glb"
+    sample_asset.build_sponza_class_glb(path_s, scale=0.12)
+    small = gltf.load_scene(path_s)
+    assert small.buffers.num_triangles > 1000
+    cfg = RenderConfig(
+        width=128, height=96, shadow_map_size=128,
+        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED),
+    )
+    r = Renderer(small, cfg, path="hybrid")
+    img = np.asarray(r.render_frame())
+    assert np.isfinite(img).all()
+    assert (img[3] > 0).mean() > 0.5, "frame mostly covered"
