@@ -34,6 +34,24 @@ def save_png(path: str, planar: np.ndarray, srgb: bool = True) -> None:
     Image.fromarray(to_uint8_image(planar, srgb)).save(path)
 
 
+def encode_png(arr: np.ndarray, srgb: bool = True,
+               already_u8: bool = False) -> bytes:
+    """PNG bytes in memory (the live viewer's frame transport).  already_u8:
+    `arr` is an (H, W, 4) uint8 swapchain image (render_frame(srgb8=True))."""
+    import io
+
+    from PIL import Image
+
+    img = (
+        np.asarray(arr)[..., :3]
+        if already_u8
+        else to_uint8_image(arr, srgb)
+    )
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def rmse(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
