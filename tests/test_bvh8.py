@@ -236,6 +236,50 @@ def test_empty_slots_cost_no_steps():
     assert int(tight.tri[0]) == int(free.tri[0])
 
 
+def test_packet_trace_matches_per_ray():
+    """Packet traversal (K rays sharing one walk) must produce exactly the
+    plain per-ray results: closest hits bit-equal, anyhit hit set equal,
+    including packets mixing hit/miss/dead (tmax < tmin) rays."""
+    tris = _random_soup(500, seed=23)
+    b8 = _bvh8(tris)
+    n = 1024
+    o, d = _rand_rays(n, seed=31)
+    tmax = np.full(n, 1e4, np.float32)
+    tmax[::7] = -1.0  # dead rays sprinkled through packets
+    tmax_j = jnp.asarray(tmax)
+    for anyhit in (False, True):
+        for k in (32, 128):
+            a = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
+                               strips=1)
+            pkt = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
+                                 strips=1, packets=k)
+            if anyhit:
+                np.testing.assert_array_equal(
+                    np.asarray(a.tri >= 0), np.asarray(pkt.tri >= 0)
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a.tri), np.asarray(pkt.tri)
+                )
+                np.testing.assert_allclose(
+                    np.asarray(a.t), np.asarray(pkt.t), atol=1e-5
+                )
+    # alpha hit-filter parity through the packet path
+    sc = procedural.checker_quad(alpha_leaf=True)
+    world = to_world(sc.buffers)
+    trs = bvh_ops.world_triangles(world.position, sc.buffers.tri_vertex)
+    bq = _bvh8(trs)
+    filt = traverse.make_alpha_hit_filter(sc.buffers)
+    o2, d2 = _rand_rays(256, seed=5, spread=3.0)
+    a = traverse.trace(bq, trs, o2, d2, 0.01, 1e4, anyhit=True,
+                       hit_filter=filt, strips=1)
+    pkt = traverse.trace(bq, trs, o2, d2, 0.01, 1e4, anyhit=True,
+                         hit_filter=filt, strips=1, packets=64)
+    np.testing.assert_array_equal(
+        np.asarray(a.tri >= 0), np.asarray(pkt.tri >= 0)
+    )
+
+
 def test_traversal_fuzz_vs_brute_force():
     """Randomized stress: BVH8 closest hits must equal brute-force
     Möller-Trumbore over ALL triangles, across degenerate-ish geometry

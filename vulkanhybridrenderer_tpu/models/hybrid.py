@@ -119,6 +119,7 @@ class HybridPath(RenderPath):
                     res["Depth"],
                     res["World Space Normals and Object IDs"],
                     ao_rays=cfg.ao_rays,
+                    settings=s,
                 )
                 return {
                     "Raytraced Shadows and Ambient Occlusion": shadow_ao,

@@ -63,12 +63,10 @@ class RaytracedPath(RenderPath):
                 traverse.make_alpha_hit_filter(scene, res["shade_tables"])
                 if test_alpha else None
             )
-            # coherent primary closest-hit: strip compaction measured ~10%
-            # faster than plain strips (922 -> 826 ms at 2M rays); plain path
-            # below 1M rays to keep test/preview compiles fast
-            rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX, hit_filter=filt,
-                                 compact=o.shape[0] >= (1 << 20),
-                                 phases=((48, 4),))
+            # plain lockstep strips: the round-3 sweep (after the BVH8
+            # empty-slot fix) measured compaction slower than plain strips
+            # for coherent closest hits (scripts/bench_trace_sweep.py)
+            rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX, hit_filter=filt)
 
             at = rt_shade.interpolate_hit_attributes(
                 res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v

@@ -43,10 +43,30 @@ def hybrid_raytrace(
     depth,
     normal_oid,
     ao_rays: int = 2,
+    settings=None,
 ):
     """depth: (H, W); normal_oid: (4, H, W).  Returns
     ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
-     "Raytraced Reflections" (4, H, W))."""
+     "Raytraced Reflections" (4, H, W)).
+
+    Schedule (round-3 sweep, scripts/bench_trace_sweep.py): plain lockstep
+    strips beat staged compaction for every wavefront kind once the BVH8
+    empty-slot fix shortened walks (compaction's per-strip nonzero/scatter
+    machinery costs more than the tail it saves at tree depth ~9) — so all
+    traces run uncompacted, which also compiles ~len(phases)x fewer copies
+    of the traversal loop.
+
+    Dead-ray elimination: rays whose result cannot affect any output get
+    tmax = -1 < tmin, exiting the lockstep walk at step one; strips covering
+    only dead rays retire after a single iteration.  Sky pixels (depth == 0)
+    are always dead — their shadow/AO/reflection values are overridden after
+    the trace (raygen.rgen:20-24), bit-identically.  Shadow rays from pixels
+    facing away from the light (N.L <= 0) are dead ONLY when denoise and
+    reflections are both off: composition multiplies shadow by max(N.L, 0)
+    (exactly 0 there), but SVGF spreads the raw channel spatially and the
+    reflection modes multiply reflections by shadow (composition.frag /
+    ops/composition.py:73,79,86), so those configs keep the rays.
+    """
     h, w = depth.shape
     uv = screen.pixel_uv_grid(h, w)
     p_world = screen.position_from_depth(depth, uv, pfd.camera_viewproj_inverse)
@@ -55,6 +75,7 @@ def hybrid_raytrace(
 
     origin = (p_world + n * 0.1).reshape(-1, 3)
     state = rng.pixel_seed(w, h, pfd.frame_index)
+    sky_flat = (depth == 0.0).reshape(-1)
 
     # ---- shadow: one cone sample around L (:31-41) -----------------------------
     state, r1 = rng.random01(state)
@@ -63,18 +84,26 @@ def hybrid_raytrace(
     cone = normalize(uniform_sample_cone(u2, CONE_COS_THETA_MAX))
     l_grid = jnp.broadcast_to(l, (h * w, 3))
     shadow_dir = to_basis(l_grid, cone)
+    shadow_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+
+    nl_skip_exact = settings is not None and not settings.denoise and (
+        settings.reflection_mode == ReflectionMode.OFF
+    )
+    if nl_skip_exact:
+        ndl = jnp.sum(n.reshape(-1, 3) * l, axis=-1)
+        shadow_tmax = jnp.where(ndl <= 0.0, -1.0, shadow_tmax)
     rec = traverse.trace(
-        bvh, tri_verts, origin, shadow_dir, SHADOW_TMIN, SHADOW_TMAX, anyhit=True
+        bvh, tri_verts, origin, shadow_dir, SHADOW_TMIN, shadow_tmax,
+        anyhit=True, strips=64,
     )
     shadow = jnp.where(rec.hit, 0.0, 1.0).reshape(h, w)
 
     # ---- AO: `ao_rays` cosine-hemisphere samples around N (:43-55) --------------
     # All AO rays trace as ONE wavefront (ao_rays * H * W): identical RNG draw
-    # order to the reference's per-ray loop, but the staged-compaction pool is
-    # 2x deeper and fixed per-trace overheads are paid once.  Incoherent
-    # anyhit + strip-level compaction measured fastest (754 ms vs 1087 plain
-    # strips / 1386 sorted at 2M rays); octant pre-sorting is strictly worse
-    # (BVH8's slot-XOR-octant ordering already handles per-ray direction).
+    # order to the reference's per-ray loop; fixed per-trace overheads are
+    # paid once.  Octant pre-sorting is strictly worse (BVH8's
+    # slot-XOR-octant ordering already handles per-ray direction).
     n_flat = n.reshape(-1, 3)
     dirs = []
     for _ in range(ao_rays):
@@ -82,22 +111,16 @@ def hybrid_raytrace(
         state, r2 = rng.random01(state)
         u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
         dirs.append(to_basis(n_flat, uniform_sample_cosine_hemisphere(u2)))
-    # Compile-time note: each staged-compaction phase adds lax.cond branches
-    # whose big traversal loops all compile separately (~minutes of XLA time
-    # per instance), so the tuned config only applies at production wavefront
-    # sizes; small frames (tests, dryruns, previews) compile the plain path.
-    big = origin.shape[0] * ao_rays >= (1 << 20)
+    ao_tmax = jnp.where(sky_flat, -1.0, AO_TMAX)
     rec = traverse.trace(
         bvh,
         tri_verts,
         jnp.concatenate([origin] * ao_rays),
         jnp.concatenate(dirs),
         SHADOW_TMIN,
-        AO_TMAX,
+        jnp.concatenate([ao_tmax] * ao_rays),
         anyhit=True,
-        strips=8 * ao_rays if big else 32,
-        compact=big,
-        phases=((16, 4), (16, 16)),
+        strips=64,
     )
     miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
     ao = (jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
@@ -107,7 +130,8 @@ def hybrid_raytrace(
     i_dir = normalize(p_world - cam).reshape(-1, 3)
     r_dir = reflect(i_dir, n_flat)
     rec = traverse.trace(
-        bvh, tri_verts, origin, r_dir, SHADOW_TMIN, SHADOW_TMAX
+        bvh, tri_verts, origin, r_dir, SHADOW_TMIN,
+        jnp.where(sky_flat, -1.0, SHADOW_TMAX), strips=32,
     )
     shaded = rt_shade.reflection_hit_shade(
         scene, tables, tri_rows, pfd, rec.tri, rec.u, rec.v

@@ -513,6 +513,225 @@ def _trace8_phased(
     return jax.lax.cond(overflow, fallback, lambda _: (t, tri, u, v), None)
 
 
+def _trace8_packet(
+    rows,  # (N, 128) BVH8 table (ops/bvh8.py layout)
+    root: int,
+    depth: int,
+    origin,  # (R, 3), R = P * K, rays in image order (coherent packets)
+    direction,
+    tmin,  # (R,)
+    tmax,  # (R,)
+    anyhit: bool,
+    hit_filter,
+    max_steps: int,
+    k_rays: int = 128,
+    leaf_max: int = 8,
+):
+    """PACKET traversal: K=128 rays share one BVH8 walk — one (N, 128) row
+    gather per PACKET-step instead of per ray-step (the classic packet/beam
+    traversal, laid out TPU-first: packets on the sublane axis, the packet's
+    128 rays on the lane axis, so every slab/triangle test is a full-width
+    (P, 128) VPU op with zero relayouts).
+
+    A packet visits the UNION of its rays' walks, so this wins when rays are
+    coherent (shadow wavefronts from contiguous pixels, primary rays): the
+    per-step gather count drops 128x and the extra VPU work (every ray tests
+    every visited box/triangle) is nearly free next to the gather-issue
+    bound (docs/PERF_STATUS.md).  Incoherent wavefronts (AO hemispheres)
+    degrade toward the union of everything — use the per-ray path there.
+
+    Per-ray state: t_best/tri/u/v (P, K).  A ray leaves the active set when
+    anyhit finds its hit (or its tmax < tmin: dead-ray elimination); boxes
+    are entered if ANY active ray hits them; the packet retires when its
+    stack empties or no ray is active.  Child visit order is XOR-octant by
+    the packet's first ray (coherent packets share the octant; for mixed
+    packets it is just a weaker heuristic, never a correctness issue)."""
+    k = k_rays
+    r = origin.shape[0]
+    p = r // k
+    d3 = direction
+    safe_d = jnp.where(jnp.abs(d3) < 1e-12,
+                       jnp.where(d3 >= 0, 1e-12, -1e-12), d3)
+    inv = 1.0 / safe_d
+    ox = origin[:, 0].reshape(p, k)
+    oy = origin[:, 1].reshape(p, k)
+    oz = origin[:, 2].reshape(p, k)
+    ix = inv[:, 0].reshape(p, k)
+    iy = inv[:, 1].reshape(p, k)
+    iz = inv[:, 2].reshape(p, k)
+    dx = d3[:, 0].reshape(p, k)
+    dy = d3[:, 1].reshape(p, k)
+    dz = d3[:, 2].reshape(p, k)
+    tmin2 = tmin.reshape(p, k)
+    tmax2 = tmax.reshape(p, k)
+    oct_ = ray_octants(d3.reshape(p, k, 3)[:, 0, :])  # (P,) first-ray octant
+    slots8 = jnp.arange(8, dtype=jnp.int32)
+    lane = jnp.arange(depth, dtype=jnp.int32)[:, None]  # (D, 1)
+
+    def first_slot(mask):
+        bits = (mask[:, None] >> (slots8[None, :] ^ oct_[:, None])) & 1
+        kk = jnp.argmax(bits, axis=-1).astype(jnp.int32)
+        slot = kk ^ oct_
+        return slot, mask & ~(1 << slot)
+
+    def cond(state):
+        node = state[0]
+        steps = state[-1]
+        return jnp.any(node >= 0) & (steps < max_steps)
+
+    def body(state):
+        node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps = state
+        live = node >= 0  # (P,)
+        row = rows[jnp.maximum(node, 0)]  # (P, 128) — THE gather (one/packet)
+        is_leaf = row[:, 127] > 0.5
+        if anyhit:
+            ray_active = tri_best < 0
+        else:
+            ray_active = jnp.ones_like(tri_best, dtype=bool)
+        ray_active &= tmax2 >= tmin2  # dead rays never participate
+
+        # -- internal: 8 child boxes vs all K rays ---------------------------
+        mask = jnp.zeros((p,), jnp.int32)
+        for s in range(8):
+            lox, loy, loz = row[:, s], row[:, 8 + s], row[:, 16 + s]
+            hix, hiy, hiz = row[:, 24 + s], row[:, 32 + s], row[:, 40 + s]
+            t0x = (lox[:, None] - ox) * ix
+            t1x = (hix[:, None] - ox) * ix
+            t0y = (loy[:, None] - oy) * iy
+            t1y = (hiy[:, None] - oy) * iy
+            t0z = (loz[:, None] - oz) * iz
+            t1z = (hiz[:, None] - oz) * iz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            hit_s = (jnp.maximum(tn, tmin2) <= jnp.minimum(tf, t_best)) & ray_active
+            any_s = jnp.any(hit_s, axis=-1) & (lox <= hix)  # empty-slot guard
+            mask |= jnp.where(any_s, jnp.int32(1) << s, 0)
+        mask = jnp.where(live & ~is_leaf, mask, 0)
+        base = row[:, 48].astype(jnp.int32)
+        offmap = row[:, 49].astype(jnp.int32)
+
+        # -- leaf: leaf_max triangles vs all K rays --------------------------
+        lm = leaf_max
+        leaf_active = is_leaf & live
+        for s in range(lm):
+            v0x, v0y, v0z = (
+                row[:, 0 * lm + s], row[:, 1 * lm + s], row[:, 2 * lm + s]
+            )
+            v1x, v1y, v1z = (
+                row[:, 3 * lm + s], row[:, 4 * lm + s], row[:, 5 * lm + s]
+            )
+            v2x, v2y, v2z = (
+                row[:, 6 * lm + s], row[:, 7 * lm + s], row[:, 8 * lm + s]
+            )
+            e1x = (v1x - v0x)[:, None]
+            e1y = (v1y - v0y)[:, None]
+            e1z = (v1z - v0z)[:, None]
+            e2x = (v2x - v0x)[:, None]
+            e2y = (v2y - v0y)[:, None]
+            e2z = (v2z - v0z)[:, None]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            okd = jnp.abs(det) > 1e-9
+            invdet = 1.0 / jnp.where(okd, det, 1.0)
+            tvx = ox - v0x[:, None]
+            tvy = oy - v0y[:, None]
+            tvz = oz - v0z[:, None]
+            u8 = (tvx * px + tvy * py + tvz * pz) * invdet
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v8 = (dx * qx + dy * qy + dz * qz) * invdet
+            t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
+            tri_s = row[:, 9 * lm + s].astype(jnp.int32)  # (P,)
+            ok = (
+                okd & (u8 >= 0.0) & (v8 >= 0.0) & (u8 + v8 <= 1.0)
+                & (tri_s >= 0)[:, None]
+                & (t8 >= tmin2) & (t8 < t_best)
+                & leaf_active[:, None] & ray_active
+            )
+            if hit_filter is not None:
+                ok &= hit_filter(
+                    jnp.broadcast_to(
+                        jnp.maximum(tri_s, 0)[:, None], (p, k)
+                    ).reshape(-1),
+                    u8.reshape(-1),
+                    v8.reshape(-1),
+                    ok.reshape(-1),
+                ).reshape(p, k)
+            t_best = jnp.where(ok, t8, t_best)
+            tri_best = jnp.where(ok, tri_s[:, None], tri_best)
+            u_best = jnp.where(ok, u8, u_best)
+            v_best = jnp.where(ok, v8, v_best)
+            if anyhit:
+                ray_active &= tri_best < 0
+
+        # -- next node: descend / pop (packet granularity, as in _trace8) ----
+        slot, remaining = first_slot(mask)
+        descend = live & ~is_leaf & (mask != 0)
+        child = base + ((offmap >> (3 * slot)) & 7)
+        push = descend & (remaining != 0)
+        entry = base * 256 + remaining
+        at_sp = lane == sp[None, :]
+        pushm = at_sp & push[None, :]
+        stack = jnp.where(pushm, entry[None, :], stack)
+        stack_b = jnp.where(pushm, offmap[None, :], stack_b)
+        sp_desc = sp + push.astype(jnp.int32)
+
+        need_pop = live & (is_leaf | (mask == 0))
+        if anyhit:
+            # packet retires early once every ray found its hit (or is dead)
+            need_pop |= live & ~jnp.any(ray_active, axis=-1)
+        can_pop = need_pop & (sp > 0)
+        at_top = lane == (sp - 1)[None, :]
+        top = jnp.sum(jnp.where(at_top, stack, 0), axis=0)
+        top_off = jnp.sum(jnp.where(at_top, stack_b, 0), axis=0)
+        pmask = top & 255
+        pslot, prem = first_slot(pmask)
+        pchild = (top >> 8) + ((top_off >> (3 * pslot)) & 7)
+        new_top = (top & ~jnp.int32(255)) | prem
+        stack = jnp.where(at_top & can_pop[None, :], new_top[None, :], stack)
+        sp = jnp.where(
+            can_pop & (prem == 0), sp - 1, jnp.where(descend, sp_desc, sp)
+        )
+        all_done = jnp.zeros((p,), bool)
+        if anyhit:
+            all_done = live & ~jnp.any(ray_active, axis=-1)
+        node = jnp.where(
+            descend & ~all_done, child,
+            jnp.where(can_pop & ~all_done, pchild, jnp.int32(-1)),
+        )
+        node = jnp.where(live, node, -1)
+        return (
+            node, sp, stack, stack_b, t_best, tri_best, u_best, v_best,
+            steps + 1,
+        )
+
+    init = (
+        jnp.full((p,), root, jnp.int32),
+        jnp.zeros((p,), jnp.int32),
+        jnp.zeros((depth, p), jnp.int32),
+        jnp.zeros((depth, p), jnp.int32),
+        tmax2,
+        jnp.full((p, k), -1, jnp.int32),
+        jnp.zeros((p, k), jnp.float32),
+        jnp.zeros((p, k), jnp.float32),
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return (
+        out[4].reshape(r), out[5].reshape(r), out[6].reshape(r),
+        out[7].reshape(r),
+    )
+
+
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
     """Batch Möller-Trumbore, no backface culling (Vulkan RT default: the reference
     sets no cull flags).  All args (..., 3); returns (t, u, v, ok)."""
@@ -657,7 +876,7 @@ def _trace16_compacted(
     jax.jit,
     static_argnames=(
         "anyhit", "hit_filter", "max_steps", "strips", "compact", "ordered",
-        "sort_rays", "phases",
+        "sort_rays", "phases", "packets",
     ),
 )
 def trace(
@@ -676,6 +895,7 @@ def trace(
     baked_links: bool = True,
     sort_rays: bool = False,
     phases=((16, 2), (16, 8)),
+    packets: int = 0,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
@@ -687,6 +907,9 @@ def trace(
     extra flat link gathers per step.  sort_rays: stable-sort rays by direction
     octant before stripping (and unsort after) so each lockstep strip is
     direction-coherent -- use for incoherent wavefronts (AO, reflections).
+    packets: K > 0 groups every K consecutive rays into a PACKET sharing one
+    BVH8 walk (one row gather per packet-step; see _trace8_packet) — the fast
+    path for coherent wavefronts; K = 128 fills the lane axis exactly.
     hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
@@ -731,7 +954,13 @@ def trace(
         tmax_a = tmax_a[perm]
 
     strips = max(1, min(strips, max(1, r // 1024)))
-    pad = (-r) % strips
+    if packets:
+        assert isinstance(bvh, BVH8), "packet traversal needs a BVH8"
+        # strip width must hold whole packets
+        strips = max(1, min(strips, max(1, r // (8 * packets))))
+        pad = (-r) % (strips * packets)
+    else:
+        pad = (-r) % strips
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
         direction = jnp.concatenate(
@@ -745,6 +974,12 @@ def trace(
     def strip_fn(args):
         o, dd, tn, tx = args
         if wide:
+            if packets:
+                return _trace8_packet(
+                    bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
+                    hit_filter, max_steps, k_rays=packets,
+                    leaf_max=bvh.leaf_max,
+                )
             if compact:
                 return _trace8_phased(
                     bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
