@@ -63,10 +63,24 @@ class RaytracedPath(RenderPath):
                 traverse.make_alpha_hit_filter(scene, res["shade_tables"])
                 if test_alpha else None
             )
-            # plain lockstep strips: the round-3 sweep (after the BVH8
-            # empty-slot fix) measured compaction slower than plain strips
-            # for coherent closest hits (scripts/bench_trace_sweep.py)
-            rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX, hit_filter=filt)
+            # coherent primary closest-hit: tiled PACKET traversal (8x16-pixel
+            # packets share one walk, 375 -> 254 ms at 2M rays; falls back to
+            # plain strips when the resolution doesn't tile evenly)
+            from vulkanhybridrenderer_tpu.ops.raygen import make_tiler
+
+            tile, untile = make_tiler(h, w)
+            if tile is not None:
+                rc = traverse.trace(
+                    bvh, tris, tile(o), tile(d), 0.1, TMAX, hit_filter=filt,
+                    strips=16, packets=128,
+                )
+                rec = traverse.HitRecord(
+                    t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u),
+                    v=untile(rc.v),
+                )
+            else:
+                rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX,
+                                     hit_filter=filt)
 
             at = rt_shade.interpolate_hit_attributes(
                 res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v
