@@ -88,8 +88,9 @@ class Bins:
     counts: Any  # (ntiles_pad,) int32 actual entry count per tile
     chunk_tile: Any  # (nblocks,) int32 owning tile of each 128-entry block
     #: (1,) int32 excess of total tile entries over the static e_cap.
-    #: Nonzero = triangles were dropped; the renderer validates this is zero
-    #: on the first frame (Renderer.check_binning).
+    #: Nonzero = triangles were dropped; rasterize_scene NaN-poisons the
+    #: depth buffer on-device EVERY frame when this trips, and
+    #: Renderer.check_binning raises a friendly host-side error on frame 1.
     overflow: Any = None
 
 
@@ -545,12 +546,26 @@ def rasterize_scene(
         scene.materials.alpha_mask[scene.tri_prim] == 1 if use_alpha else None
     )
 
+    # resolve the entry cap HERE (not inside bin_triangles' trace) so the jit
+    # cache keys on the actual value — a changed default_e_cap takes effect
     bins = bin_triangles(
         setup, width, height, tile_h=tile_h, tile_w=tile_w,
+        e_cap=default_e_cap(setup.sx.shape[0], width * height),
         exclude_mask=tri_masked, cull_backface=cull_backface,
     )
     vis = rasterize_binned(
         bins, width, height, tile_h=tile_h, tile_w=tile_w, interpret=interpret
+    )
+    # EVERY-frame on-device overflow guard (not just the first-frame host
+    # check): if the camera/scene later pushes total tile entries over the
+    # static e_cap, triangles were dropped and the frame is wrong — poison the
+    # depth buffer with NaN so the fault is LOUD (bench.py's isfinite check
+    # trips; Renderer.find_nonfinite_pass isolates it to this pass) instead of
+    # silently rendering holes.  Costs one fused where/multiply.
+    poison = jnp.where(bins.overflow[0] > 0, jnp.float32(jnp.nan),
+                       jnp.float32(1.0))
+    vis = VisibilityBuffer(
+        tri_id=vis.tri_id, depth=vis.depth * poison, bary=vis.bary
     )
 
     if use_alpha:

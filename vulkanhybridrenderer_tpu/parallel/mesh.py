@@ -181,6 +181,12 @@ def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
             bz = jnp.where(take, d_p[i], bz)
             bt = jnp.where(take, t_p[i], bt)
             bb = jnp.where(take[..., None], b_p[i], bb)
+        # every-frame overflow guard, mirrored from rasterize_scene: ANY
+        # device's binning overflow (dropped triangles) NaN-poisons the whole
+        # composited depth so it cannot pass silently.  psum because a NaN in
+        # one partial would otherwise lose the depth comparisons above.
+        ov = jax.lax.psum(bins.overflow[0], ROW_AXIS)
+        bz = bz * jnp.where(ov > 0, jnp.float32(jnp.nan), jnp.float32(1.0))
         return bz, bt, bb
 
     tpl = setup.planes.shape[0] // n

@@ -181,8 +181,12 @@ class Renderer:
     def check_binning(self, pfd=None) -> None:
         """Host-side validation that no triangles overflow the binned
         rasterizer's static tier caps (Bins.overflow) for the current camera
-        and light views.  Called automatically on the first frame (one sync);
-        call again after large camera/scene changes if paranoid."""
+        and light views.  Called automatically on the first frame (one sync)
+        for a friendly error; LATER frames are guarded on-device — any
+        overflow NaN-poisons the depth buffer (rasterize_scene), so a
+        camera/scene change that overflows a cap can never silently drop
+        triangles (it trips bench.py's isfinite check and is isolated by
+        find_nonfinite_pass)."""
         if self.config.raster != "binned":
             return
         import numpy as np
