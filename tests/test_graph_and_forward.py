@@ -101,6 +101,39 @@ def test_forward_msaa_resolve():
     assert np.isfinite(img).all()
 
 
+def test_forward_msaa_coverage_semantics():
+    """Coverage MSAA (the default, true multisampling semantics): interior
+    pixels match the 1-sample render exactly (same fragment, shaded once);
+    only edge pixels change, taking coverage-weighted intermediate values
+    close to the supersampled reference."""
+    sc = procedural.cornell_box()
+    base = np.asarray(
+        Renderer(sc, _small_config(), path="forward").render_frame()
+    )
+    cov = np.asarray(
+        Renderer(
+            sc, _small_config(forward=ForwardSettings(msaa_samples=4)),
+            path="forward",
+        ).render_frame()
+    )
+    ss = np.asarray(
+        Renderer(
+            sc,
+            _small_config(
+                forward=ForwardSettings(msaa_samples=4,
+                                        msaa_mode="supersample")
+            ),
+            path="forward",
+        ).render_frame()
+    )
+    assert np.isfinite(cov).all()
+    differs = ~np.isclose(cov, base, atol=1e-5).all(axis=0)
+    # anti-aliasing touches SOME pixels, but only a small edge fraction
+    assert 0.0 < differs.mean() < 0.15
+    # edge values agree with the supersampled reference closely on average
+    assert np.abs(cov - ss).mean() < 0.01
+
+
 def test_forward_pass_timing_table():
     sc = procedural.cornell_box()
     r = Renderer(sc, _small_config(), path="forward")

@@ -60,10 +60,17 @@ class HybridSettings:
 
 @dataclasses.dataclass(frozen=True)
 class ForwardSettings:
-    """Forward raster path (forward_raster_render_path.h:14); MSAA is expressed as an
-    ordered-grid supersample factor on TPU."""
+    """Forward raster path (forward_raster_render_path.h:14).
+
+    msaa_samples: multisampled coverage like the reference's max-sample-count
+    attachments (forward_raster_render_path.cpp:59).  msaa_mode="coverage"
+    (default) rasterizes depth/coverage at the standard Vulkan sample
+    positions sharing ONE binning pass and shades at most two distinct
+    fragments per pixel (true MSAA cost semantics: k x coverage, ~1 x
+    shading); "supersample" is the legacy ordered-grid k x shading variant."""
 
     msaa_samples: int = 1
+    msaa_mode: str = "coverage"  # "coverage" | "supersample"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -586,6 +586,108 @@ def rasterize_scene(
     return vis
 
 
+# Standard Vulkan sample positions (VkSpec "Multisampling", offsets from the
+# pixel center in units of 1/16 pixel) — the grid the reference's
+# max-sample-count MSAA attachments resolve over.
+MSAA_PATTERNS = {
+    1: ((0, 0),),
+    2: ((4, 4), (-4, -4)),
+    4: ((-2, -6), (6, -2), (-6, 2), (2, 6)),
+    8: ((1, -3), (-1, 3), (5, 1), (-3, -5), (-5, 5), (-7, -1), (3, 7),
+        (7, -7)),
+}
+
+
+def offset_bins(bins: Bins, dx: float, dy: float) -> Bins:
+    """Shift every binned plane equation to evaluate at pixel-center + (dx, dy)
+    instead of the center: lam(px+dx, py+dy) = A*px + B*py + (C + A*dx + B*dy),
+    so only the C constants change — the tile kernel runs unmodified at any
+    sample position, and the binning (bbox/tile assignment, which is
+    conservative for any in-pixel sample) is shared across all samples."""
+    e = bins.entry_data  # (nblocks, 16, CHUNK); rows: A=(0,3,6,9) B=(1,4,7,10) C=(2,5,8,11)
+    a = e[:, (0, 3, 6, 9), :]
+    b = e[:, (1, 4, 7, 10), :]
+    e = e.at[:, (2, 5, 8, 11), :].add(a * dx + b * dy)
+    return dataclasses.replace(bins, entry_data=e)
+
+
+def _offset_setup(setup: TriangleSetup, dx: float, dy: float) -> TriangleSetup:
+    """Same C-constant shift on a raw TriangleSetup (brute/alpha path)."""
+    p = setup.planes
+    shifted = p.at[:, (2, 5, 8, 11)].add(
+        p[:, (0, 3, 6, 9)] * dx + p[:, (1, 4, 7, 10)] * dy
+    )
+    return dataclasses.replace(setup, planes=shifted)
+
+
+def rasterize_scene_msaa(
+    scene,
+    clip,
+    width: int,
+    height: int,
+    samples: int,
+    interpret: bool | None = None,
+    alpha: bool = True,
+    cull_backface: bool = True,
+    tables=None,
+) -> list[VisibilityBuffer]:
+    """Multisampled visibility: one VisibilityBuffer per sample position of the
+    standard Vulkan pattern, at BASE resolution.  Triangle setup, binning, and
+    the entry sort/scatter run ONCE; each sample reruns only the (cheap) tile
+    kernel on C-shifted plane constants (offset_bins) — the TPU mapping of
+    multisampled attachments (forward_raster_render_path.cpp:59), where the
+    raster hardware likewise evaluates shared edge equations per sample."""
+    import jax as _jax
+
+    from vulkanhybridrenderer_tpu.ops import gbuffer as _gbuffer
+    from vulkanhybridrenderer_tpu.ops import rasterizer as _raster
+
+    if samples not in MSAA_PATTERNS:
+        raise ValueError(f"msaa_samples must be one of {list(MSAA_PATTERNS)}")
+    if interpret is None:
+        dev = getattr(_jax.config, "jax_default_device", None)
+        platform = getattr(dev, "platform", None) or _jax.default_backend()
+        interpret = platform != "tpu"
+
+    setup = _raster.triangle_setup(clip, scene.tri_vertex, width, height)
+    use_alpha = scene.has_alpha_mask and alpha
+    tri_masked = (
+        scene.materials.alpha_mask[scene.tri_prim] == 1 if use_alpha else None
+    )
+    bins = bin_triangles(
+        setup, width, height,
+        e_cap=default_e_cap(setup.sx.shape[0], width * height),
+        exclude_mask=tri_masked, cull_backface=cull_backface,
+    )
+    poison = jnp.where(bins.overflow[0] > 0, jnp.float32(jnp.nan),
+                       jnp.float32(1.0))
+
+    out = []
+    for sx16, sy16 in MSAA_PATTERNS[samples]:
+        dx, dy = sx16 / 16.0, sy16 / 16.0
+        vis = rasterize_binned(
+            offset_bins(bins, dx, dy), width, height, interpret=interpret
+        )
+        vis = VisibilityBuffer(
+            tri_id=vis.tri_id, depth=vis.depth * poison, bary=vis.bary
+        )
+        if use_alpha:
+            idx = scene.alpha_tri_idx
+            base_mask = _gbuffer.make_alpha_frag_mask(scene, clip, tables=tables)
+
+            def local_mask(tri_local, wts):
+                return base_mask(idx[tri_local], wts)
+
+            alpha_chunk = 2 if width * height > 512 * 512 else 8
+            vis_m = _subset_brute(
+                _offset_setup(setup, dx, dy), idx, None, width, height,
+                chunk=alpha_chunk, frag_mask_fn=local_mask,
+            )
+            vis = merge_visibility(vis, vis_m)
+        out.append(vis)
+    return out
+
+
 def merge_visibility(a: VisibilityBuffer, b: VisibilityBuffer) -> VisibilityBuffer:
     """Depth-merge two visibility buffers (reverse-Z GREATER_OR_EQUAL; b wins
     ties, matching later-draw-wins).  Used to composite the separately-rasterized

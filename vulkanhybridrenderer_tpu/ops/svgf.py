@@ -79,27 +79,40 @@ def temporal(
     weights4 = [(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy, fx * fy]
     offsets4 = [(0, 0), (1, 0), (0, 1), (1, 1)]
 
-    prev_n = state.prev_normal_oid[:3]
-    prev_oid = state.prev_normal_oid[3]
+    # Patch-row reprojection: all 13 taps (2x2 bilinear + 3x3 fallback) lie in
+    # the 3x3 neighborhood of the reprojected base pixel, so pre-pack that
+    # whole neighborhood — 9 static shifts of the 10-channel history — into
+    # one (H*W, 90) row table and fetch it with ONE gather per pixel instead
+    # of 13 (gather cost is per-INDEX, docs/PERF_STATUS.md: ~27M indices
+    # -> ~2M; the shift packing is pure streaming bandwidth).  Out-of-range
+    # taps read shift fill / clamped rows and are masked by `inb` exactly as
+    # the per-tap-gather formulation did — bit-identical output.
+    from vulkanhybridrenderer_tpu.ops.filters import shifted
 
-    # Fused history rows: every reprojection tap needs 10 channels (history
-    # shadow/ao, 4 moments, prev normal, prev oid); one (H*W, 10) row gather
-    # per tap instead of ~10 per-channel gathers (per-index gather cost,
-    # docs/PERF_STATUS.md) — the temporal kernel does 13 taps/pixel.
     nhist = state.shadow_ao_history.shape[0]
-    packed = jnp.concatenate(
+    npack = nhist + 8
+    packed_chw = jnp.concatenate(
         [state.shadow_ao_history, state.moments_history,
          state.prev_normal_oid],
         axis=0,
-    ).reshape(-1, h * w).T  # (H*W, nhist + 8)
+    )  # (npack, H, W)
+    offs9 = [(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
+    patch = jnp.concatenate(
+        [shifted(packed_chw, oy, ox) for oy, ox in offs9], axis=0
+    )  # (9 * npack, H, W)
+    flat = patch.reshape(9 * npack, h * w).T  # (H*W, 9 * npack)
+    base_lin = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    rows9 = flat[base_lin]  # (H, W, 9 * npack) — THE gather
     cur_n_hwc = cur_n.transpose(1, 2, 0)
     cur_oid_i = cur_oid.astype(jnp.int32)
 
-    def tap(sy, sx):
+    def tap(oy, ox):
         """One fused tap -> (valid, sh_ao (H,W,nhist), mom (H,W,4))."""
+        k = offs9.index((oy, ox))
+        row = rows9[..., k * npack:(k + 1) * npack]
+        sy = iy + oy
+        sx = ix + ox
         inb = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
-        lin = jnp.clip(sy, 0, h - 1) * w + jnp.clip(sx, 0, w - 1)
-        row = packed[lin]  # (H, W, nhist + 8)
         sh_ao = row[..., :nhist]
         mom = row[..., nhist:nhist + 4]
         pn = row[..., nhist + 4:nhist + 7]
@@ -114,9 +127,7 @@ def temporal(
     acc_mom = jnp.zeros((h, w, 4), jnp.float32)
     acc_w = jnp.zeros((h, w), jnp.float32)
     for (ox, oy), wgt in zip(offsets4, weights4):
-        sy = iy + oy
-        sx = ix + ox
-        valid, sh_ao, mom = tap(sy, sx)
+        valid, sh_ao, mom = tap(oy, ox)
         vw = jnp.where(valid, wgt, 0.0)
         acc_shadow += vw * sh_ao[..., 0]
         acc_ao += vw * sh_ao[..., 1]
@@ -132,9 +143,7 @@ def temporal(
     f_w = jnp.zeros((h, w), jnp.float32)
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
-            sy = iy + oy
-            sx = ix + ox
-            valid, sh_ao, mom = tap(sy, sx)
+            valid, sh_ao, mom = tap(oy, ox)
             vw = jnp.where(valid, 1.0, 0.0)
             f_shadow += vw * sh_ao[..., 0]
             f_ao += vw * sh_ao[..., 1]
