@@ -35,6 +35,9 @@ def main():
     elif case == "sh":
         kw.update(ao_mode=AmbientOcclusionMode.OFF,
                   reflection_mode=ReflectionMode.OFF, denoise=False)
+    elif case == "shdn":  # shadows + denoise only: isolates the nl-dead-ray
+        kw.update(ao_mode=AmbientOcclusionMode.OFF,  # + svgf marginal
+                  reflection_mode=ReflectionMode.OFF, denoise=True)
     cfg = RenderConfig(width=1920, height=1080, alpha_raster="off",
                        hybrid=HybridSettings(**kw))
     r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")

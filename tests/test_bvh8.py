@@ -354,3 +354,42 @@ def test_leaf_max_12_matches_8():
     moved = tris + jnp.asarray([2.0, 0.0, 0.0])
     b12m = bvh8_ops.refit8(b12, moved)
     bvh8_ops.validate_host(b12m, moved)
+
+
+def test_packet_phased_compaction_exact():
+    """Packet-level staged compaction (_trace8_packet_phased) must match the
+    plain packet trace exactly, in all three regimes: the compacted branch
+    actually running (few survivors), multiple phases chaining scatter-backs,
+    and overflow (survivors > cap) falling back to the uncompacted re-trace."""
+    tris = _random_soup(600, seed=41)
+    b8 = _bvh8(tris)
+    n = 4096
+    o, d = _rand_rays(n, seed=43)
+    tmax = np.full(n, 1e4, np.float32)
+    tmax[::5] = -1.0
+    tmax_j = jnp.asarray(tmax)
+    for anyhit in (False, True):
+        ref = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
+                             strips=1, packets=64)
+        for phases in (
+            ((64, 4),),            # one compaction, generous steps
+            ((8, 2), (16, 4)),     # two chained compactions
+            ((1, 16),),            # tiny cap after 1 step -> certain overflow
+        ):
+            got = traverse.trace(
+                b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit, strips=1,
+                packets=64, compact=True, packet_phases=phases,
+            )
+            if anyhit:
+                np.testing.assert_array_equal(
+                    np.asarray(ref.tri >= 0), np.asarray(got.tri >= 0),
+                    err_msg=f"phases={phases}",
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(ref.tri), np.asarray(got.tri),
+                    err_msg=f"phases={phases}",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(ref.t), np.asarray(got.t), atol=1e-5
+                )

@@ -77,12 +77,15 @@ def hybrid_raytrace(
     ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
      "Raytraced Reflections" (4, H, W)).
 
-    Schedule (round-3 sweep, scripts/bench_trace_sweep.py): plain lockstep
-    strips beat staged compaction for every wavefront kind once the BVH8
-    empty-slot fix shortened walks (compaction's per-strip nonzero/scatter
-    machinery costs more than the tail it saves at tree depth ~9) — so all
-    traces run uncompacted, which also compiles ~len(phases)x fewer copies
-    of the traversal loop.
+    Schedule (round-3 sweeps, scripts/bench_trace_sweep.py,
+    bench_shadow_tail.py, bench_refl.py): RAY-level staged compaction loses
+    everywhere (per-strip nonzero/scatter costs more than the tail it saves
+    at tree depth ~9).  Anyhit wavefronts (shadow incl. its grazing
+    backfacing tail, AO) run uncompacted — walks terminate on first hit, so
+    the lockstep tail is short.  The closest-hit reflection wavefront walks
+    ~2.5x longer (mean 33 steps, max 103) and its divergent-packet tail
+    dominates; PACKET-level staged compaction (nonzero at ~16k packets is
+    cheap) wins 38% there (398 -> 246 ms at 2M rays).
 
     Dead-ray elimination: rays whose result cannot affect any output get
     tmax = -1 < tmin, exiting the lockstep walk at step one; strips covering
@@ -170,10 +173,19 @@ def hybrid_raytrace(
     r_dir = reflect(i_dir, n_flat)
     refl_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
     if tile is not None:
-        # mirror rays off mostly-smooth G-buffer normals stay tile-coherent
+        # mirror rays off mostly-smooth G-buffer normals stay tile-coherent,
+        # but their closest-hit walks are LONG (mean ~33 steps, max ~103) and
+        # a tail of divergent packets dominates the lockstep loop — packet-
+        # level staged compaction wins 2.1x here (398 -> 186 ms at 2M rays,
+        # scripts/bench_refl.py; unlike the anyhit shadow wavefront, where
+        # plain packets stay fastest).  Schedule margin: ~15-20% of packets
+        # survive 48 steps (cap 25%) and <1.6% survive the second phase
+        # (cap 6.25% of the original) — tighter caps measured as overflow
+        # (the lax.cond full-width fallback re-trace, ~1 s).
         rc = traverse.trace(
             bvh, tri_verts, tile(origin), tile(r_dir), SHADOW_TMIN,
-            tile(refl_tmax), strips=16, packets=128,
+            tile(refl_tmax), strips=1, packets=128,
+            compact=True, packet_phases=((48, 4), (96, 16)),
         )
         rec = traverse.HitRecord(
             t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u), v=untile(rc.v)

@@ -526,6 +526,8 @@ def _trace8_packet(
     max_steps: int,
     k_rays: int = 128,
     leaf_max: int = 8,
+    init_state=None,
+    return_state: bool = False,
 ):
     """PACKET traversal: K=128 rays share one BVH8 walk — one (N, 128) row
     gather per PACKET-step instead of per ray-step (the classic packet/beam
@@ -714,22 +716,129 @@ def _trace8_packet(
             steps + 1,
         )
 
-    init = (
-        jnp.full((p,), root, jnp.int32),
-        jnp.zeros((p,), jnp.int32),
-        jnp.zeros((depth, p), jnp.int32),
-        jnp.zeros((depth, p), jnp.int32),
-        tmax2,
-        jnp.full((p, k), -1, jnp.int32),
-        jnp.zeros((p, k), jnp.float32),
-        jnp.zeros((p, k), jnp.float32),
-        jnp.int32(0),
-    )
+    if init_state is None:
+        init = (
+            jnp.full((p,), root, jnp.int32),
+            jnp.zeros((p,), jnp.int32),
+            jnp.zeros((depth, p), jnp.int32),
+            jnp.zeros((depth, p), jnp.int32),
+            tmax2,
+            jnp.full((p, k), -1, jnp.int32),
+            jnp.zeros((p, k), jnp.float32),
+            jnp.zeros((p, k), jnp.float32),
+            jnp.int32(0),
+        )
+    else:
+        # phase continuation (_trace8_packet_phased): resume a prior phase's
+        # state with the step counter rezeroed so max_steps bounds THIS phase
+        init = init_state[:-1] + (jnp.int32(0),)
     out = jax.lax.while_loop(cond, body, init)
+    if return_state:
+        return out
     return (
         out[4].reshape(r), out[5].reshape(r), out[6].reshape(r),
         out[7].reshape(r),
     )
+
+
+def _trace8_packet_phased(
+    rows,
+    root: int,
+    depth: int,
+    origin,
+    direction,
+    tmin,
+    tmax,
+    anyhit: bool,
+    hit_filter,
+    max_steps: int,
+    packet_phases=((64, 8),),
+    k_rays: int = 128,
+    leaf_max: int = 8,
+):
+    """_trace8_packet with staged compaction at PACKET granularity.
+
+    The packet loop pays every step for every packet, but almost all packets
+    retire quickly — the surviving tail is grazing rays (e.g. shadow rays
+    from N.L <= 0 pixels skimming parallel to their surface, measured ~800 ms
+    of the 1080p full-hybrid frame) whose union walks run 10-100x longer than
+    the median.  Compaction at RAY granularity was retired (nonzero/scatter
+    at multi-million width costs ~100-200 ms, docs/PERF_STATUS.md rule 5),
+    but at PACKET granularity the index vectors are ~16k elements — the
+    nonzero, the (cap, K) state gathers, and the scatter-back are all cheap.
+
+    Each (p_steps, frac) phase runs the full-width loop p_steps steps, then
+    compacts live packets into a P/frac buffer.  Exactness mirrors
+    _trace8_phased: overflow of any compaction buffer triggers one top-level
+    uncompacted re-trace (lax.cond), and padding uses the out-of-range index
+    + mode='drop' scatters."""
+    k = k_rays
+    r0 = origin.shape[0]
+    p0 = r0 // k
+
+    state = None
+    o_c, d_c, tn_c, tx_c = origin, direction, tmin, tmax
+    overflow = jnp.bool_(False)
+    levels = []  # (idx, packet-shaped t/tri/u/v before compaction)
+    steps_used = 0
+    for p_steps, frac in packet_phases:
+        take = max(0, min(p_steps, max_steps - steps_used))
+        state = _trace8_packet(
+            rows, root, depth, o_c, d_c, tn_c, tx_c, anyhit, hit_filter,
+            take, k_rays=k, leaf_max=leaf_max, init_state=state,
+            return_state=True,
+        )
+        steps_used += take
+        p = o_c.shape[0] // k
+        cap = max(8, p // frac)
+        if cap >= p:
+            continue
+        alive = state[0] >= 0
+        overflow |= jnp.sum(alive.astype(jnp.int32)) > cap
+        (idx,) = jnp.nonzero(alive, size=cap, fill_value=p)
+        ok = idx < p
+        safe = jnp.minimum(idx, p - 1)
+        levels.append((idx, state[4], state[5], state[6], state[7]))
+        state = (
+            jnp.where(ok, state[0][safe], -1),
+            state[1][safe],
+            state[2][:, safe],
+            state[3][:, safe],
+            state[4][safe],
+            state[5][safe],
+            state[6][safe],
+            state[7][safe],
+            state[8],
+        )
+        pk = lambda a: a.reshape((p, k) + a.shape[1:])[safe].reshape(
+            (cap * k,) + a.shape[1:]
+        )
+        o_c, d_c, tn_c, tx_c = pk(o_c), pk(d_c), pk(tn_c), pk(tx_c)
+
+    t, tri, u, v = _trace8_packet(
+        rows, root, depth, o_c, d_c, tn_c, tx_c, anyhit, hit_filter,
+        max(0, max_steps - steps_used), k_rays=k, leaf_max=leaf_max,
+        init_state=state,
+    )
+    cap = o_c.shape[0] // k
+    t, tri = t.reshape(cap, k), tri.reshape(cap, k)
+    u, v = u.reshape(cap, k), v.reshape(cap, k)
+    for idx, t_b, tri_b, u_b, v_b in reversed(levels):
+        t = t_b.at[idx].set(t, mode="drop")
+        tri = tri_b.at[idx].set(tri, mode="drop")
+        u = u_b.at[idx].set(u, mode="drop")
+        v = v_b.at[idx].set(v, mode="drop")
+    out = (t.reshape(r0), tri.reshape(r0), u.reshape(r0), v.reshape(r0))
+    if not levels:
+        return out
+
+    def fallback(_):
+        return _trace8_packet(
+            rows, root, depth, origin, direction, tmin, tmax, anyhit,
+            hit_filter, max_steps, k_rays=k, leaf_max=leaf_max,
+        )
+
+    return jax.lax.cond(overflow, fallback, lambda _: out, None)
 
 
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
@@ -876,7 +985,7 @@ def _trace16_compacted(
     jax.jit,
     static_argnames=(
         "anyhit", "hit_filter", "max_steps", "strips", "compact", "ordered",
-        "sort_rays", "phases", "packets",
+        "sort_rays", "phases", "packets", "packet_phases",
     ),
 )
 def trace(
@@ -896,6 +1005,7 @@ def trace(
     sort_rays: bool = False,
     phases=((16, 2), (16, 8)),
     packets: int = 0,
+    packet_phases=((64, 8),),
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
@@ -910,6 +1020,10 @@ def trace(
     packets: K > 0 groups every K consecutive rays into a PACKET sharing one
     BVH8 walk (one row gather per packet-step; see _trace8_packet) — the fast
     path for coherent wavefronts; K = 128 fills the lane axis exactly.
+    packets + compact: staged compaction at PACKET granularity
+    (_trace8_packet_phased, schedule packet_phases) — use when a small tail
+    of long-walking packets (grazing rays) would otherwise stretch the
+    lockstep loop (per-packet nonzero/scatter is cheap at ~16k packets).
     hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
@@ -975,6 +1089,12 @@ def trace(
         o, dd, tn, tx = args
         if wide:
             if packets:
+                if compact:
+                    return _trace8_packet_phased(
+                        bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
+                        hit_filter, max_steps, packet_phases=packet_phases,
+                        k_rays=packets, leaf_max=bvh.leaf_max,
+                    )
                 return _trace8_packet(
                     bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
                     hit_filter, max_steps, k_rays=packets,
