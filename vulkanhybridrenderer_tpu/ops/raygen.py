@@ -97,6 +97,20 @@ def hybrid_raytrace(
     (exactly 0 there), but SVGF spreads the raw channel spatially and the
     reflection modes multiply reflections by shadow (composition.frag /
     ops/composition.py:73,79,86), so those configs keep the rays.
+
+    Feature gating: the reference's raygen.rgen traces shadow+AO+reflection
+    unconditionally and lets composition's spec constants pick the sources —
+    on RT cores the dead traces are nearly free, on TPU they are the most
+    expensive ops in the frame.  Channels no active mode consumes are
+    therefore not traced at all (shadow/ao -> 1.0, refl -> 0): output-
+    identical, because composition ignores them (composition.frag:81-156)
+    and SVGF's per-channel weights never mix shadow and AO.  XLA's DCE
+    already pruned dead traces in denoise-OFF configs (slice-through-stack);
+    with denoise ON the SVGF pass consumes all 4 channels, so the gating
+    must be explicit.  (Only observable difference vs the reference: the
+    SVGF *history* of a disabled channel holds its fill value, so the first
+    frames after live-enabling a mode converge from 1.0 instead of from a
+    pre-traced history — the price of not tracing rays nothing displays.)
     """
     h, w = depth.shape
     uv = screen.pixel_uv_grid(h, w)
@@ -107,6 +121,23 @@ def hybrid_raytrace(
     origin = (p_world + n * 0.1).reshape(-1, 3)
     state = rng.pixel_seed(w, h, pfd.frame_index)
     sky_flat = (depth == 0.0).reshape(-1)
+
+    from vulkanhybridrenderer_tpu.core.config import (
+        AmbientOcclusionMode, ReflectionMode, ShadowMode,
+    )
+
+    # (composition multiplies reflections by its SELECTED shadow source —
+    # ops/composition.py:79,86 — so a non-RAYTRACED shadow mode never reads
+    # the RT shadow channel, even with reflections on)
+    trace_shadow = settings is None or (
+        settings.shadow_mode == ShadowMode.RAYTRACED
+    )
+    trace_ao = settings is None or (
+        settings.ao_mode == AmbientOcclusionMode.RAYTRACED
+    )
+    trace_refl = settings is None or (
+        settings.reflection_mode == ReflectionMode.RAYTRACED
+    )
 
     # ---- shadow: one cone sample around L (:31-41) -----------------------------
     state, r1 = rng.random01(state)
@@ -127,19 +158,21 @@ def hybrid_raytrace(
     # coherent wavefront -> tiled PACKET traversal (8x16-pixel packets share
     # one walk; ~25-35% over plain strips, scripts/bench_packets.py)
     tile, untile = make_tiler(h, w)
-    if tile is not None:
+    if not trace_shadow:
+        shadow = jnp.ones((h, w), jnp.float32)
+    elif tile is not None:
         rec = traverse.trace(
             bvh, tri_verts, tile(origin), tile(shadow_dir), SHADOW_TMIN,
             tile(shadow_tmax), anyhit=True, strips=16, packets=128,
         )
         shadow_hit = untile(rec.hit)
+        shadow = jnp.where(shadow_hit, 0.0, 1.0).reshape(h, w)
     else:
         rec = traverse.trace(
             bvh, tri_verts, origin, shadow_dir, SHADOW_TMIN, shadow_tmax,
             anyhit=True, strips=64,
         )
-        shadow_hit = rec.hit
-    shadow = jnp.where(shadow_hit, 0.0, 1.0).reshape(h, w)
+        shadow = jnp.where(rec.hit, 0.0, 1.0).reshape(h, w)
 
     # ---- AO: `ao_rays` cosine-hemisphere samples around N (:43-55) --------------
     # All AO rays trace as ONE wavefront (ao_rays * H * W): identical RNG draw
@@ -154,25 +187,30 @@ def hybrid_raytrace(
         u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
         dirs.append(to_basis(n_flat, uniform_sample_cosine_hemisphere(u2)))
     ao_tmax = jnp.where(sky_flat, -1.0, AO_TMAX)
-    rec = traverse.trace(
-        bvh,
-        tri_verts,
-        jnp.concatenate([origin] * ao_rays),
-        jnp.concatenate(dirs),
-        SHADOW_TMIN,
-        jnp.concatenate([ao_tmax] * ao_rays),
-        anyhit=True,
-        strips=64,
-    )
-    miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
-    ao = (jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
+    if not trace_ao:
+        ao = jnp.ones((h, w), jnp.float32)
+    else:
+        rec = traverse.trace(
+            bvh,
+            tri_verts,
+            jnp.concatenate([origin] * ao_rays),
+            jnp.concatenate(dirs),
+            SHADOW_TMIN,
+            jnp.concatenate([ao_tmax] * ao_rays),
+            anyhit=True,
+            strips=64,
+        )
+        miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
+        ao = (jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
 
     # ---- mirror reflections (:57-66) ---------------------------------------------
     cam = pfd.camera_position
     i_dir = normalize(p_world - cam).reshape(-1, 3)
     r_dir = reflect(i_dir, n_flat)
     refl_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
-    if tile is not None:
+    if not trace_refl:
+        refl = jnp.zeros((h, w, 4), jnp.float32)
+    elif tile is not None:
         # mirror rays off mostly-smooth G-buffer normals stay tile-coherent,
         # but their closest-hit walks are LONG (mean ~33 steps, max ~103) and
         # a tail of divergent packets dominates the lockstep loop — packet-
@@ -194,10 +232,11 @@ def hybrid_raytrace(
         rec = traverse.trace(
             bvh, tri_verts, origin, r_dir, SHADOW_TMIN, refl_tmax, strips=32
         )
-    shaded = rt_shade.reflection_hit_shade(
-        scene, tables, tri_rows, pfd, rec.tri, rec.u, rec.v
-    )
-    refl = jnp.where(rec.hit[:, None], shaded, 0.0).reshape(h, w, 4)
+    if trace_refl:
+        shaded = rt_shade.reflection_hit_shade(
+            scene, tables, tri_rows, pfd, rec.tri, rec.u, rec.v
+        )
+        refl = jnp.where(rec.hit[:, None], shaded, 0.0).reshape(h, w, 4)
 
     # ---- sky override (:20-24) ------------------------------------------------------
     sky = depth == 0.0
