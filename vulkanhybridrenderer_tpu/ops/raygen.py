@@ -61,6 +61,32 @@ def make_tiler(h: int, w: int):
     return tile, untile
 
 
+def make_blocker(h: int, w: int, nb: int = 8):
+    """(block, unblock) permutations turning image-order (H*W, ...) arrays into
+    coarse block-major order: nb x nb contiguous screen blocks of (h/nb, w/nb)
+    pixels each — pure reshape/transpose, no gathers.  Used so each traversal
+    STRIP covers one compact screen block: strips pay their own max walk
+    length, and walk lengths are spatially correlated, so block-uniform strips
+    beat full-width image bands ~12% on the AO wavefront
+    (scripts/bench_ao_real.py: block135x240 s128 = 511 ms vs plain s64 = 579).
+    Returns (None, None) when the resolution doesn't split evenly."""
+    if h % nb or w % nb:
+        return None, None
+    bh, bw = h // nb, w // nb
+
+    def block(a):
+        rest = a.shape[1:]
+        x = a.reshape(nb, bh, nb, bw, *rest)
+        return jnp.moveaxis(x, 2, 1).reshape(h * w, *rest)
+
+    def unblock(a):
+        rest = a.shape[1:]
+        x = a.reshape(nb, nb, bh, bw, *rest)
+        return jnp.moveaxis(x, 1, 2).reshape(h * w, *rest)
+
+    return block, unblock
+
+
 def hybrid_raytrace(
     scene: SceneBuffers,
     tables,
@@ -190,18 +216,27 @@ def hybrid_raytrace(
     if not trace_ao:
         ao = jnp.ones((h, w), jnp.float32)
     else:
+        # block-major strips: one (h/8, w/8) screen block per strip (see
+        # make_blocker) — AO walk lengths are short (mean 12.8 steps) but
+        # dispersed, and full-width band strips pay the global max.
+        block, unblock = make_blocker(h, w)
+        if block is None:
+            block = unblock = lambda a: a
+            strips = 64
+        else:
+            strips = 64 * ao_rays  # one strip per block per AO ray
         rec = traverse.trace(
             bvh,
             tri_verts,
-            jnp.concatenate([origin] * ao_rays),
-            jnp.concatenate(dirs),
+            jnp.concatenate([block(origin)] * ao_rays),
+            jnp.concatenate([block(d) for d in dirs]),
             SHADOW_TMIN,
-            jnp.concatenate([ao_tmax] * ao_rays),
+            jnp.concatenate([block(ao_tmax)] * ao_rays),
             anyhit=True,
-            strips=64,
+            strips=strips,
         )
         miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
-        ao = (jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
+        ao = unblock(jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
 
     # ---- mirror reflections (:57-66) ---------------------------------------------
     cam = pfd.camera_position
