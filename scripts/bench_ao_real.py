@@ -119,17 +119,41 @@ def main():
         return traverse.trace(bvh, tris, ob, db, raygen.SHADOW_TMIN, tb,
                               anyhit=True, strips=strips).t.sum()
 
-    for label, fn, args in (
-        ("plain s64 (production)", plain, (64,)),
-        ("plain s128", plain, (128,)),
-        ("plain s256", plain, (256,)),
-        ("block135x240 s128", blocked, (128, 135, 240)),
-        ("block135x240 s256", blocked, (256, 135, 240)),
-        ("block54x120 s256", blocked, (256, 54, 120)),
-        ("block27x60 s512", blocked, (512, 27, 60)),
-    ):
+    def subpkt(k, nby, nbx, th, tw, strips=None, phases=None):
+        tl, _ = raygen.make_block_tiler(h, w, nby, nbx, th, tw)
+        assert tl is not None, (nby, nbx, th, tw)
+        ob = jnp.concatenate([tl(origin)] * 2)
+        db = jnp.concatenate([tl(d) for d in dirs])
+        tb = jnp.concatenate([tl(ao_tmax)] * 2)
+        if strips is None:
+            strips = 2 * nby * nbx  # one strip per block per draw
+        kw = dict(anyhit=True, strips=strips, packets=k)
+        if phases is not None:
+            kw.update(compact=True, packet_phases=phases)
+        return traverse.trace(bvh, tris, ob, db, raygen.SHADOW_TMIN, tb,
+                              **kw).t.sum()
+
+    import os
+
+    cases = [
+        ("block135x240 s128 (prod)", blocked, (128, 135, 240)),
+        ("subpkt K4 2x2 b4x8", subpkt, (4, 4, 8, 2, 2)),
+        ("subpkt K4 2x2 b6x16", subpkt, (4, 6, 16, 2, 2)),
+        ("subpkt K8 2x4 b4x8", subpkt, (8, 4, 8, 2, 4)),
+        ("subpkt K8 2x4 b6x16", subpkt, (8, 6, 16, 2, 4)),
+        ("subpkt K8 4x2 b4x8", subpkt, (8, 4, 8, 4, 2)),
+        ("subpkt K16 4x4 b4x8", subpkt, (16, 4, 8, 4, 4)),
+        ("subpkt K8 2x4 s1 ph40/4+40/16", subpkt,
+         (8, 4, 8, 2, 4, 1, ((40, 4), (40, 16)))),
+        ("subpkt K4 2x2 s1 ph28/4+28/16", subpkt,
+         (4, 4, 8, 2, 2, 1, ((28, 4), (28, 16)))),
+    ]
+    only = os.environ.get("AO_CASES")
+    for label, fn, args in cases:
+        if only and only not in label:
+            continue
         ms = timeit(fn, *args)
-        print(f"ao {label:<28} {ms:8.1f} ms")
+        print(f"ao {label:<32} {ms:8.1f} ms")
         sys.stdout.flush()
 
 

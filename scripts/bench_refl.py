@@ -95,17 +95,38 @@ def main():
         )
         return rec.t.sum()
 
-    for label, fn, args in (
-        ("phased s1 ((64,8))", trace_phased, (1, ((64, 8),))),
-        ("phased s1 ((48,8))", trace_phased, (1, ((48, 8),))),
-        ("phased s1 ((64,16))", trace_phased, (1, ((64, 16),))),
-        ("phased s1 ((48,4))", trace_phased, (1, ((48, 4),))),
-        ("phased s1 ((32,4))", trace_phased, (1, ((32, 4),))),
-        ("phased s1 ((48,4),(96,16))", trace_phased,
+    def trace_subpkt(k, nby, nbx, th, tw, strips=None, phases=None):
+        tl, _ = raygen.make_block_tiler(h, w, nby, nbx, th, tw)
+        assert tl is not None, (nby, nbx, th, tw)
+        if strips is None:
+            strips = nby * nbx
+        kw = dict(strips=strips, packets=k)
+        if phases is not None:
+            kw.update(compact=True, packet_phases=phases)
+        rec = traverse.trace(bvh, tris, tl(origin), tl(r_dir), 0.01,
+                             tl(tmax), **kw)
+        return rec.t.sum()
+
+    import os
+
+    cases = (
+        ("phased s1 ((48,4),(96,16)) prod", trace_phased,
          (1, ((48, 4), (96, 16)))),
-    ):
+        ("subpkt K8 2x4 b4x8", trace_subpkt, (8, 4, 8, 2, 4)),
+        ("subpkt K16 4x4 b4x8", trace_subpkt, (16, 4, 8, 4, 4)),
+        ("subpkt K16 4x4 b6x16", trace_subpkt, (16, 6, 16, 4, 4)),
+        ("subpkt K32 4x8 b4x8", trace_subpkt, (32, 4, 8, 4, 8)),
+        ("subpkt K16 ph s1 ((64,4),(96,16))", trace_subpkt,
+         (16, 4, 8, 4, 4, 1, ((64, 4), (96, 16)))),
+        ("subpkt K8 ph s1 ((56,4),(96,16))", trace_subpkt,
+         (8, 4, 8, 2, 4, 1, ((56, 4), (96, 16)))),
+    )
+    only = os.environ.get("REFL_CASES")
+    for label, fn, args in cases:
+        if only and only not in label:
+            continue
         ms = timeit(fn, *args)
-        print(f"refl trace {label:<18} {ms:8.1f} ms")
+        print(f"refl trace {label:<34} {ms:8.1f} ms")
         sys.stdout.flush()
 
     # hit shade standalone

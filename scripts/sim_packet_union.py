@@ -1,16 +1,13 @@
-"""CPU simulator: BVH8 packet-union walk lengths U(K) for the real AO
-wavefront (dumped by dump_ao_rays.py).  Decides whether a sub-packet
-traversal kernel (8 packets of 16 rays sharing one 128-lane row) can beat
-the blocked per-ray strips (511 ms) before building it.
+"""CPU simulator: BVH8 packet-union walk lengths U(K) for the real 1080p
+SponzaProxy wavefronts (dumped by dump_ao_rays_cpu.py / dump_ao_rays.py):
+AO (anyhit, tmax 5), shadow (anyhit, tmax 1e4), reflection (closest).
+Decides whether a (K-sublane, M-lane) sub-packet traversal kernel can beat
+the current schedules before building it.
 
-Cost model (docs/PERF_STATUS.md + shadow-packet calibration):
-  - one 128-lane packet step (8 slab + 8 MT + stack logic) ~ 137 ns
-  - one (N,128) row gather from a VMEM-resident table ~ 3 ns/index
-  - per-ray path: ~3 ns gather + ~1.1 ns VPU per ray-step
-For a sub-packet kernel with S packets of K rays per 128-lane row
-(S*K = 128), a super-row pays MAX over its S sub-packets' walks and S row
-gathers per step:
-  pred = n_super_rows * U_max * (137 + S*3) ns
+Cost model (calibrated: K=1 pred[p99.9] 540 ms vs measured 511 ms):
+  - VPU ~1.07 ns per ray-step (8 slab + 8 MT + stack logic, lane-dense)
+  - row gather ~3 ns per index (VMEM-resident table)
+  - blocked strips pay ~p99.9 of packet walks; ideal compaction pays ~mean
 
 Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python scripts/sim_packet_union.py
 """
@@ -25,12 +22,13 @@ import numpy as np
 TMIN = 0.01
 
 
-def packet_steps(rows, root, o, d, tmax):
-    """Union-walk step count for ONE packet (anyhit semantics, slot order
-    irrelevant to the union count).  o,d: (K,3); tmax: (K,)."""
-    k = o.shape[0]
+def packet_steps(rows, root, o, d, tmax, anyhit=True):
+    """Union-walk step count for ONE packet with near-first child ordering.
+    o,d: (K,3); tmax: (K,).  anyhit retires rays on first hit; closest
+    shortens t_best."""
     safe = np.where(np.abs(d) < 1e-12, np.where(d >= 0, 1e-12, -1e-12), d)
     inv = 1.0 / safe
+    t_best = tmax.astype(np.float32).copy()
     active = tmax >= TMIN
     steps = 0
     stack = [root]
@@ -38,7 +36,7 @@ def packet_steps(rows, root, o, d, tmax):
         node = stack.pop()
         row = rows[node]
         steps += 1
-        if row[127] > 0.5:  # leaf: 8 triangles (slot-major groups of 8)
+        if row[127] > 0.5:  # leaf
             for s in range(8):
                 if row[72 + s] < 0:
                     continue
@@ -56,13 +54,17 @@ def packet_steps(rows, root, o, d, tmax):
                 v = (d * q).sum(-1) * invdet
                 t = (e2 * q).sum(-1) * invdet
                 hit = (okd & (u >= 0) & (v >= 0) & (u + v <= 1)
-                       & (t >= TMIN) & (t < tmax) & active)
-                active &= ~hit
-            if not active.any():
+                       & (t >= TMIN) & (t < t_best) & active)
+                if anyhit:
+                    active &= ~hit
+                else:
+                    t_best = np.where(hit, t, t_best)
+            if anyhit and not active.any():
                 break
         else:
             base = int(row[48])
             offmap = int(row[49])
+            kids = []
             for s in range(8):
                 lo = row[[0 + s, 8 + s, 16 + s]]
                 hi = row[[24 + s, 32 + s, 40 + s]]
@@ -72,10 +74,49 @@ def packet_steps(rows, root, o, d, tmax):
                 t1 = (hi - o) * inv
                 tn = np.minimum(t0, t1).max(-1)
                 tf = np.maximum(t0, t1).min(-1)
-                hit = (np.maximum(tn, TMIN) <= np.minimum(tf, tmax)) & active
+                hit = (np.maximum(tn, TMIN) <= np.minimum(tf, t_best)) & active
                 if hit.any():
-                    stack.append(base + ((offmap >> (3 * s)) & 7))
+                    kids.append((float(tn[hit].min()),
+                                 base + ((offmap >> (3 * s)) & 7)))
+            # near child LAST pushed -> popped first
+            for _, c in sorted(kids, key=lambda x: -x[0]):
+                stack.append(c)
     return steps
+
+
+def sweep(name, rows, origin, dir_draws, tmax, anyhit, h, w, n_tiles=300):
+    rng = np.random.default_rng(7)
+    ys = rng.integers(0, h // 8, n_tiles) * 8
+    xs = rng.integers(0, w // 16, n_tiles) * 16
+    origin = origin.reshape(h, w, 3)
+    dir_draws = [dd.reshape(h, w, 3) for dd in dir_draws]
+    tmax = tmax.reshape(h, w)
+    total_rays = len(dir_draws) * h * w
+    layouts = {1: (1, 1), 4: (2, 2), 8: (2, 4), 16: (4, 4), 32: (4, 8),
+               128: (8, 16)}
+    print(f"== {name} ({'anyhit' if anyhit else 'closest'}, "
+          f"{total_rays / 1e6:.1f}M rays) ==")
+    for k, (th, tw) in layouts.items():
+        walks = []
+        for y0, x0 in zip(ys, xs):
+            for dgrid in dir_draws:
+                for sy in range(0, 8, th):
+                    for sx in range(0, 16, tw):
+                        oy, ox = y0 + sy, x0 + sx
+                        o = origin[oy:oy + th, ox:ox + tw].reshape(-1, 3)
+                        dd = dgrid[oy:oy + th, ox:ox + tw].reshape(-1, 3)
+                        tt = tmax[oy:oy + th, ox:ox + tw].reshape(-1)
+                        walks.append(packet_steps(rows, 0, o, dd, tt, anyhit))
+        a = np.array(walks, np.float64)
+        u_mean = a.mean()
+        q = {p: np.percentile(a, p) for p in (50, 90, 99, 99.9)}
+        m = total_rays / k
+        pred = lambda u: (total_rays * 1.07 + m * 3.0) * u * 1e-6  # ms
+        print(f"K={k:<4} tile {th}x{tw}: U mean {u_mean:7.1f}  p50 {q[50]:6.0f}"
+              f"  p90 {q[90]:6.0f}  p99 {q[99]:6.0f}  p99.9 {q[99.9]:7.0f}"
+              f"  max {a.max():7.0f}  pred[mean] {pred(u_mean):6.0f} ms"
+              f"  pred[p99.9] {pred(q[99.9]):6.0f} ms")
+        sys.stdout.flush()
 
 
 def main():
@@ -87,9 +128,6 @@ def main():
 
     data = np.load("/tmp/ao_rays.npz")
     h, w = int(data["h"]), int(data["w"])
-    origin = data["origin"].reshape(h, w, 3)
-    dirs = [data["dir0"].reshape(h, w, 3), data["dir1"].reshape(h, w, 3)]
-    tmax = data["tmax"].reshape(h, w)
 
     scene = procedural.sponza_proxy()
     sc = scene.buffers
@@ -100,44 +138,16 @@ def main():
     rows = np.asarray(b8.rows)
     print(f"sponza BVH8: {rows.shape[0]} rows, depth {b8.depth}")
 
-    rng = np.random.default_rng(7)
-    n_tiles = 400  # 8x16 super-tiles sampled over the frame
-    ys = rng.integers(0, h // 8, n_tiles) * 8
-    xs = rng.integers(0, w // 16, n_tiles) * 16
-
-    # layouts: K rays/packet from a (th, tw) pixel tile, per draw
-    layouts = {1: (1, 1), 8: (2, 4), 16: (4, 4), 32: (4, 8),
-               64: (8, 8), 128: (8, 16)}
-    total_rays = 2 * h * w
-    for k, (th, tw) in layouts.items():
-        per_tile = []  # steps of each sub-packet within each super tile
-        for y0, x0 in zip(ys, xs):
-            subs = []
-            for draw in range(2):
-                d = dirs[draw]
-                for sy in range(0, 8, th):
-                    for sx in range(0, 16, tw):
-                        oy, ox = y0 + sy, x0 + sx
-                        o = origin[oy:oy + th, ox:ox + tw].reshape(-1, 3)
-                        dd = d[oy:oy + th, ox:ox + tw].reshape(-1, 3)
-                        tt = tmax[oy:oy + th, ox:ox + tw].reshape(-1)
-                        subs.append(packet_steps(rows, 0, o, dd, tt))
-            per_tile.append(subs)
-        a = np.array(per_tile, np.float64)  # (tiles, subpackets)
-        u_mean = a.mean()
-        # lockstep super-row: S = 128//k packets advance together, pay max
-        s_sub = 128 // k
-        if s_sub > 1:
-            grp = a.reshape(n_tiles, -1, s_sub)  # adjacent sub-packets share a row
-            u_max = grp.max(-1).mean()
-        else:
-            u_max = u_mean
-        n_rows = total_rays // 128
-        pred_ms = n_rows * u_max * (137 + s_sub * 3) * 1e-9 * 1e3
-        print(f"K={k:<4} tile {th}x{tw}: U mean {u_mean:7.1f}  "
-              f"lockstep-max {u_max:7.1f}  steps/ray {u_mean / k:6.2f}  "
-              f"pred {pred_ms:7.0f} ms")
-        sys.stdout.flush()
+    which = sys.argv[1:] or ["ao", "shadow", "refl"]
+    if "ao" in which:
+        sweep("AO", rows, data["origin"], [data["dir0"], data["dir1"]],
+              data["tmax"], True, h, w)
+    if "shadow" in which and "shadow_dir" in data:
+        sweep("shadow", rows, data["origin"], [data["shadow_dir"]],
+              data["shadow_tmax"], True, h, w)
+    if "refl" in which and "refl_dir" in data:
+        sweep("reflection", rows, data["origin"], [data["refl_dir"]],
+              data["shadow_tmax"], False, h, w)
 
 
 if __name__ == "__main__":

@@ -280,6 +280,51 @@ def test_packet_trace_matches_per_ray():
     )
 
 
+def test_subpacket_trace_matches_per_ray():
+    """Sub-packet traversal (K < 128 rays on the sublane axis sharing one
+    walk, _trace8_subpacket) and its phased-compaction variant must produce
+    exactly the plain per-ray results, including sub-packets mixing
+    hit/miss/dead rays and multi-strip schedules."""
+    tris = _random_soup(400, seed=41)
+    b8 = _bvh8(tris)
+    n = 4096
+    o, d = _rand_rays(n, seed=43)
+    tmax = np.full(n, 1e4, np.float32)
+    tmax[::5] = -1.0
+    tmax_j = jnp.asarray(tmax)
+    for anyhit in (False, True):
+        a = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
+                           strips=1)
+        for k in (4, 8, 16):
+            for strips in (1, 4):
+                pkt = traverse.trace(b8, tris, o, d, 0.01, tmax_j,
+                                     anyhit=anyhit, strips=strips, packets=k)
+                if anyhit:
+                    np.testing.assert_array_equal(
+                        np.asarray(a.tri >= 0), np.asarray(pkt.tri >= 0)
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(a.tri), np.asarray(pkt.tri)
+                    )
+                    np.testing.assert_allclose(
+                        np.asarray(a.t), np.asarray(pkt.t), atol=1e-5
+                    )
+        # phased sub-packet compaction: both the compacted path (big strip,
+        # caps smaller than the sub-packet count) and overflow fallback
+        ph = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
+                            strips=1, packets=8, compact=True,
+                            packet_phases=((6, 2), (12, 8)))
+        if anyhit:
+            np.testing.assert_array_equal(
+                np.asarray(a.tri >= 0), np.asarray(ph.tri >= 0)
+            )
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a.tri), np.asarray(ph.tri)
+            )
+
+
 def test_traversal_fuzz_vs_brute_force():
     """Randomized stress: BVH8 closest hits must equal brute-force
     Möller-Trumbore over ALL triangles, across degenerate-ish geometry

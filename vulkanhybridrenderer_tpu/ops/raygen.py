@@ -61,6 +61,33 @@ def make_tiler(h: int, w: int):
     return tile, untile
 
 
+def make_block_tiler(h: int, w: int, nby: int, nbx: int, th: int, tw: int):
+    """(tile, untile) permutations for SUB-packet traversal: image-order
+    (H*W, ...) arrays -> (block-major, then (th, tw)-pixel-tile-major) order.
+    Each tile's th*tw pixels become one K-ray sub-packet (consecutive rays);
+    each of the nby*nbx screen blocks holds a contiguous run of sub-packets,
+    so a traversal STRIP covering one block pays the block's (spatially
+    correlated) max union walk.  Pure reshape/transpose, no gathers.
+    Returns (None, None) when the resolution doesn't split evenly."""
+    if h % (nby * th) or w % (nbx * tw):
+        return None, None
+    bh, bw = h // nby, w // nbx  # block pixel size
+
+    def tile(a):
+        rest = a.shape[1:]
+        x = a.reshape(nby, bh // th, th, nbx, bw // tw, tw, *rest)
+        x = x.transpose(0, 3, 1, 4, 2, 5, *range(6, 6 + len(rest)))
+        return x.reshape(h * w, *rest)
+
+    def untile(a):
+        rest = a.shape[1:]
+        x = a.reshape(nby, nbx, bh // th, bw // tw, th, tw, *rest)
+        x = x.transpose(0, 2, 4, 1, 3, 5, *range(6, 6 + len(rest)))
+        return x.reshape(h * w, *rest)
+
+    return tile, untile
+
+
 def make_blocker(h: int, w: int, nb: int = 8):
     """(block, unblock) permutations turning image-order (H*W, ...) arrays into
     coarse block-major order: nb x nb contiguous screen blocks of (h/nb, w/nb)
