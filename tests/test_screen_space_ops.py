@@ -124,6 +124,35 @@ def test_svgf_atrous_edge_stopping_on_object_id():
     np.testing.assert_allclose(out[0][:, 8:], 1.0, atol=1e-6)
 
 
+def test_svgf_scan_matches_unrolled_atrous():
+    """denoise()'s lax.scan a-trous loop (dynamic-step body) must be
+    value-identical to the unrolled static-step atrous_iteration chain,
+    including the history = first-iteration-output rule."""
+    h, w = 24, 40
+    rng = np.random.default_rng(3)
+    n = jnp.zeros((4, h, w)).at[2].set(1.0)
+    n = n.at[3, :, 20:].set(1.0)
+    motion = jnp.zeros((4, h, w))
+    shadow_ao = jnp.asarray(rng.random((4, h, w)), jnp.float32)
+    state = svgf.TemporalState(
+        shadow_ao_history=jnp.asarray(rng.random((2, h, w)), jnp.float32),
+        moments_history=jnp.asarray(rng.random((4, h, w)), jnp.float32),
+        prev_normal_oid=n,
+    )
+    out, new_state = svgf.denoise(n, motion, shadow_ao, state, iterations=5)
+    integrated, _ = svgf.temporal(n, motion, shadow_ao, state)
+    cur = integrated
+    hist = None
+    for i in range(5):
+        cur = svgf.atrous_iteration(cur, n, 1 << i)
+        if i == 0:
+            hist = cur[:2]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(cur),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.shadow_ao_history),
+                               np.asarray(hist), atol=1e-6, rtol=1e-6)
+
+
 def test_svgf_denoise_smooths_noise():
     h = w = 32
     rng = np.random.default_rng(0)

@@ -7,11 +7,13 @@ import jax.numpy as jnp
 def flat_gather(table, idx):
     """table: (N,) 1-D; idx: any shape -> table[idx].
 
-    XLA TPU's fast gather path needs a 1-D *operand*; multi-dim operands
-    ((T, K)[ids] row gathers) are ~300x slower.  Multi-dim index shapes are fine
-    as-is -- measured: pre-flattening idx with reshapes made the forward frame 2x
-    slower (breaks fusion), so this is a plain gather kept as a naming hook for
-    the 1-D-operand convention."""
+    Gather cost on TPU is per-INDEX, independent of row width (row gathers are
+    NOT slower -- round 1's "300x" rule was a dispatch-latency measurement
+    artifact, see docs/PERF_STATUS.md): prefer ONE (N, K) row gather over K
+    1-D gathers when a consumer needs K values per index.  This helper remains
+    for genuinely scalar lookups.  Multi-dim index shapes are fine as-is --
+    measured: pre-flattening idx with reshapes made the forward frame 2x
+    slower (breaks fusion)."""
     return table[idx]
 
 

@@ -88,6 +88,22 @@ def make_block_tiler(h: int, w: int, nby: int, nbx: int, th: int, tw: int):
     return tile, untile
 
 
+def pick_block_tiler(h: int, w: int, th: int, tw: int, max_blocks: int = 8):
+    """First (tile, untile, nby, nbx) block-tiler whose grid divides the
+    resolution, searching from max_blocks x max_blocks down (more blocks =
+    finer strips = closer to mean walk length).  (None, None, 0, 0) if none."""
+    for nby in range(max_blocks, 0, -1):
+        if h % (nby * th):
+            continue
+        for nbx in range(max_blocks, 0, -1):
+            if w % (nbx * tw):
+                continue
+            tile, untile = make_block_tiler(h, w, nby, nbx, th, tw)
+            if tile is not None:
+                return tile, untile, nby, nbx
+    return None, None, 0, 0
+
+
 def make_blocker(h: int, w: int, nb: int = 8):
     """(block, unblock) permutations turning image-order (H*W, ...) arrays into
     coarse block-major order: nb x nb contiguous screen blocks of (h/nb, w/nb)
@@ -130,15 +146,15 @@ def hybrid_raytrace(
     ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
      "Raytraced Reflections" (4, H, W)).
 
-    Schedule (round-3 sweeps, scripts/bench_trace_sweep.py,
-    bench_shadow_tail.py, bench_refl.py): RAY-level staged compaction loses
+    Schedule (round-3 sweeps: scripts/bench_trace_real.py,
+    sim_packet_union.py, bench_refl.py): RAY-level staged compaction loses
     everywhere (per-strip nonzero/scatter costs more than the tail it saves
-    at tree depth ~9).  Anyhit wavefronts (shadow incl. its grazing
-    backfacing tail, AO) run uncompacted — walks terminate on first hit, so
-    the lockstep tail is short.  The closest-hit reflection wavefront walks
-    ~2.5x longer (mean 33 steps, max 103) and its divergent-packet tail
-    dominates; PACKET-level staged compaction (nonzero at ~16k packets is
-    cheap) wins 38% there (398 -> 246 ms at 2M rays).
+    at tree depth ~9).  Each wavefront gets the packet size its coherence
+    supports — shadow (parallel rays, flat unions): 128-wide packets over
+    8x16 tiles, strips = screen blocks; AO (incoherent hemispheres): K=4
+    sub-packets over 2x2 tiles, strips = screen blocks; reflection
+    (closest-hit, heavy walk tail): K=16 sub-packets over 4x4 tiles with
+    staged sub-packet compaction.
 
     Dead-ray elimination: rays whose result cannot affect any output get
     tmax = -1 < tmin, exiting the lockstep walk at step one; strips covering
@@ -209,14 +225,19 @@ def hybrid_raytrace(
         ndl = jnp.sum(n.reshape(-1, 3) * l, axis=-1)
         shadow_tmax = jnp.where(ndl <= 0.0, -1.0, shadow_tmax)
     # coherent wavefront -> tiled PACKET traversal (8x16-pixel packets share
-    # one walk; ~25-35% over plain strips, scripts/bench_packets.py)
-    tile, untile = make_tiler(h, w)
+    # one walk; ~25-35% over plain strips, scripts/bench_packets.py).  Strips
+    # are screen BLOCKS (one strip per block): shadow union walks are nearly
+    # flat in packet size (parallel rays) and the cost is the per-strip MAX
+    # walk, so small spatially-correlated strips approach the mean
+    # (sim_packet_union: p99.9 38 steps vs mean 12.9 at K=128).
+    tile, untile, nby, nbx = pick_block_tiler(h, w, *PACKET_TILE)
     if not trace_shadow:
         shadow = jnp.ones((h, w), jnp.float32)
     elif tile is not None:
+        strips = nby * nbx if nby * nbx >= 8 else 16
         rec = traverse.trace(
             bvh, tri_verts, tile(origin), tile(shadow_dir), SHADOW_TMIN,
-            tile(shadow_tmax), anyhit=True, strips=16, packets=128,
+            tile(shadow_tmax), anyhit=True, strips=strips, packets=128,
         )
         shadow_hit = untile(rec.hit)
         shadow = jnp.where(shadow_hit, 0.0, 1.0).reshape(h, w)
@@ -243,52 +264,59 @@ def hybrid_raytrace(
     if not trace_ao:
         ao = jnp.ones((h, w), jnp.float32)
     else:
-        # block-major strips: one (h/8, w/8) screen block per strip (see
-        # make_blocker) — AO walk lengths are short (mean 12.8 steps) but
-        # dispersed, and full-width band strips pay the global max.
-        block, unblock = make_blocker(h, w)
-        if block is None:
-            block = unblock = lambda a: a
-            strips = 64
+        # K=4 SUB-packets of one 2x2-pixel tile each: AO hemisphere draws are
+        # incoherent, so big packets degrade to the union of everything
+        # (K=128 measured 1141 ms), but 4 rays from one 2x2 tile share enough
+        # upper-tree walk to win: R/4 row gathers at union walks only ~2.1x
+        # the per-ray mean (sim_packet_union: U(4)=25.5 vs U(1)=12.0).
+        # Strips are screen blocks (one per block per draw): walk lengths are
+        # spatially correlated, each strip pays its own short max.
+        blk, unblk, nby, nbx = pick_block_tiler(h, w, 2, 2)
+        if blk is None:
+            blk = unblk = lambda a: a
+            strips, packets = 64, 0
         else:
-            strips = 64 * ao_rays  # one strip per block per AO ray
+            strips, packets = ao_rays * nby * nbx, 4
         rec = traverse.trace(
             bvh,
             tri_verts,
-            jnp.concatenate([block(origin)] * ao_rays),
-            jnp.concatenate([block(d) for d in dirs]),
+            jnp.concatenate([blk(origin)] * ao_rays),
+            jnp.concatenate([blk(d) for d in dirs]),
             SHADOW_TMIN,
-            jnp.concatenate([block(ao_tmax)] * ao_rays),
+            jnp.concatenate([blk(ao_tmax)] * ao_rays),
             anyhit=True,
             strips=strips,
+            packets=packets,
         )
         miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
-        ao = unblock(jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
+        ao = unblk(jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
 
     # ---- mirror reflections (:57-66) ---------------------------------------------
     cam = pfd.camera_position
     i_dir = normalize(p_world - cam).reshape(-1, 3)
     r_dir = reflect(i_dir, n_flat)
     refl_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
+    rtile, runtile, _, _ = pick_block_tiler(h, w, 4, 4)
     if not trace_refl:
         refl = jnp.zeros((h, w, 4), jnp.float32)
-    elif tile is not None:
-        # mirror rays off mostly-smooth G-buffer normals stay tile-coherent,
-        # but their closest-hit walks are LONG (mean ~33 steps, max ~103) and
-        # a tail of divergent packets dominates the lockstep loop — packet-
-        # level staged compaction wins 2.1x here (398 -> 186 ms at 2M rays,
-        # scripts/bench_refl.py; unlike the anyhit shadow wavefront, where
-        # plain packets stay fastest).  Schedule margin: ~15-20% of packets
-        # survive 48 steps (cap 25%) and <1.6% survive the second phase
-        # (cap 6.25% of the original) — tighter caps measured as overflow
-        # (the lax.cond full-width fallback re-trace, ~1 s).
+    elif rtile is not None:
+        # mirror rays off mostly-smooth G-buffer normals are tile-coherent,
+        # but their closest-hit walks are LONG with a heavy tail
+        # (sim_packet_union K=16: p50 22 / p99 68 / p99.9 95) that dominates
+        # the lockstep loop — K=16 sub-packets (4x4-pixel tiles) with staged
+        # compaction: R/16 gathers per step at near-per-ray walk lengths,
+        # and the nonzero/gather/scatter compaction machinery is cheap at
+        # M = R/16 sub-packet width.  Phase 1 (40 steps ~ p90) retires ~90%
+        # of sub-packets (cap 25%); <1% survive phase 2 (cap 6.25%);
+        # overflow = one full-width re-trace (lax.cond), exactness preserved.
         rc = traverse.trace(
-            bvh, tri_verts, tile(origin), tile(r_dir), SHADOW_TMIN,
-            tile(refl_tmax), strips=1, packets=128,
-            compact=True, packet_phases=((48, 4), (96, 16)),
+            bvh, tri_verts, rtile(origin), rtile(r_dir), SHADOW_TMIN,
+            rtile(refl_tmax), strips=1, packets=16,
+            compact=True, packet_phases=((40, 4), (96, 16)),
         )
         rec = traverse.HitRecord(
-            t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u), v=untile(rc.v)
+            t=runtile(rc.t), tri=runtile(rc.tri), u=runtile(rc.u),
+            v=runtile(rc.v),
         )
     else:
         rec = traverse.trace(
