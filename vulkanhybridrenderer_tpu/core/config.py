@@ -119,6 +119,12 @@ class RenderConfig:
     #: skip masked triangles in raster passes (they remain in the BVH for RT)
     alpha_raster: str = "brute"
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
+    #: acceleration structure for RT shadow rays (TPU-native extension; the
+    #: reference has only the hardware BVH): "bvh8" = the BVH8 packet
+    #: traversal; "grid" = light-space 2D grid (ops/shadowgrid.py) -- exact
+    #: same hit/miss answers, wins when triangles are tiny relative to the
+    #: light footprint (dense foliage/terrain)
+    shadow_accel: str = "bvh8"
     # NOTE: no shadow-ray-count knob: the reference's raygen.rgen:39-41 loop
     # re-traces the SAME direction/payload 4x, which is semantically one
     # any-hit trace (ops/raygen.py traces once, bit-equal result).

@@ -107,6 +107,48 @@ class HybridPath(RenderPath):
 
         if rt_needed:
             add_bvh_pass(graph, cfg.animated)
+            rt_inputs = [
+                "scene",
+                "shade_tables",
+                "TriRows",
+                "pfd",
+                "BVH",
+                "WorldTris",
+                "Depth",
+                "World Space Normals and Object IDs",
+            ]
+            use_grid = (
+                cfg.shadow_accel == "grid"
+                and s.shadow_mode == ShadowMode.RAYTRACED
+            )
+            if use_grid:
+                # alternative shadow AS: light-space grid.  Prebuilt host-side
+                # (renderer._get_shadow_grid, like the BVH); animated scenes
+                # rebuild it in-frame from this frame's world triangles at the
+                # same static resolution (cheap sort-based binning -- the
+                # analogue of the BVH Refit pass).
+                if cfg.animated:
+                    def grid_pass(res):
+                        from vulkanhybridrenderer_tpu.ops import shadowgrid
+
+                        return {
+                            "ShadowGrid": shadowgrid.build_shadow_grid(
+                                res["WorldTris"],
+                                res["pfd"].directional_light.direction[:3],
+                                grid=res["shadow_grid"].grid,
+                            )
+                        }
+                else:
+                    def grid_pass(res):
+                        return {"ShadowGrid": res["shadow_grid"]}
+
+                graph.add_pass(
+                    "Shadow Grid Build",
+                    grid_pass,
+                    inputs=("WorldTris", "pfd", "shadow_grid"),
+                    outputs=("ShadowGrid",),
+                )
+                rt_inputs.append("ShadowGrid")
 
             def raytrace_pass(res):
                 shadow_ao, refl = raygen.hybrid_raytrace(
@@ -120,6 +162,7 @@ class HybridPath(RenderPath):
                     res["World Space Normals and Object IDs"],
                     ao_rays=cfg.ao_rays,
                     settings=s,
+                    shadow_grid=res.get("ShadowGrid"),
                 )
                 return {
                     "Raytraced Shadows and Ambient Occlusion": shadow_ao,
@@ -129,16 +172,7 @@ class HybridPath(RenderPath):
             graph.add_pass(
                 "Raytrace Pass",
                 raytrace_pass,
-                inputs=(
-                    "scene",
-                    "shade_tables",
-                    "TriRows",
-                    "pfd",
-                    "BVH",
-                    "WorldTris",
-                    "Depth",
-                    "World Space Normals and Object IDs",
-                ),
+                inputs=tuple(rt_inputs),
                 outputs=(
                     "Raytraced Shadows and Ambient Occlusion",
                     "Raytraced Reflections",

@@ -141,6 +141,7 @@ def hybrid_raytrace(
     normal_oid,
     ao_rays: int = 2,
     settings=None,
+    shadow_grid=None,
 ):
     """depth: (H, W); normal_oid: (4, H, W).  Returns
     ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
@@ -233,6 +234,17 @@ def hybrid_raytrace(
     tile, untile, nby, nbx = pick_block_tiler(h, w, *PACKET_TILE)
     if not trace_shadow:
         shadow = jnp.ones((h, w), jnp.float32)
+    elif shadow_grid is not None:
+        # alternative AS (config.shadow_accel="grid"): light-space grid cell
+        # lookup + lockstep entry tests, exact same hit/miss answers as the
+        # BVH traversal (ops/shadowgrid.py)
+        from vulkanhybridrenderer_tpu.ops import shadowgrid as sg_ops
+
+        hit = sg_ops.trace_shadow(
+            shadow_grid, origin, shadow_dir, SHADOW_TMIN, shadow_tmax,
+            strips=64,
+        )
+        shadow = jnp.where(hit, 0.0, 1.0).reshape(h, w)
     elif tile is not None:
         strips = nby * nbx if nby * nbx >= 8 else 16
         rec = traverse.trace(

@@ -18,13 +18,15 @@ tree walk at all:
      the hit/miss answer equals brute force over all triangles (verified in
      tests against the BVH traversal).
 
-STATUS: correct (hit/miss proven equal to the BVH traversal in tests) but
-NOT wired into the frame paths: for this project's scene densities the mean
-cell occupancy (~T * mean_tri_footprint / light_area ~ 30 entries/ray on
-SponzaProxy) does not beat the BVH8 mean walk (14.5 steps) whose table is
-also VMEM-resident.  Kept as a tested alternative acceleration structure —
-it wins when triangles are tiny relative to the light footprint (dense
-foliage/terrain) or when tree build cost matters more than trace cost.
+Wired behind ``RenderConfig.shadow_accel = "grid"`` (models/hybrid.py
+"Shadow Grid Build" pass; prebuilt host-side for static scenes, rebuilt
+in-frame for animated ones) and proven frame-identical to the BVH8 shadow
+trace (tests/test_hybrid_path.py::test_hybrid_shadow_accel_grid_matches_bvh).
+The default stays "bvh8": for this project's scene densities the mean cell
+occupancy (~30 entries/ray on SponzaProxy) does not beat the BVH8 mean walk
+(14.5 steps) whose table is also VMEM-resident.  "grid" wins when triangles
+are tiny relative to the light footprint (dense foliage/terrain) or when
+build cost matters more than trace cost.
 """
 from __future__ import annotations
 

@@ -61,6 +61,7 @@ class Renderer:
         self.prim_transform = scene.buffers.prim_transform
         self._bvh = None
         self._shade_tables = None
+        self._shadow_grid = None
         self._binning_checked = False
 
     # -- path / config switching (renderer.cpp:159-181) ---------------------------
@@ -168,8 +169,27 @@ class Renderer:
             self._shade_tables = shadetab.build_shade_tables(self.scene.buffers)
         return self._shade_tables
 
+    def _get_shadow_grid(self):
+        """Build the light-space shadow grid once (shadow_accel="grid"): the
+        alternative shadow-ray AS (ops/shadowgrid.py).  Host-sized from the
+        static scene; animated paths rebuild it in-frame at the same (static)
+        resolution (models/hybrid.py Shadow Grid Build)."""
+        if self._shadow_grid is None:
+            from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
+            from vulkanhybridrenderer_tpu.ops import shadowgrid
+            from vulkanhybridrenderer_tpu.ops.geometry import to_world
+
+            world = to_world(self.scene.buffers, self.prim_transform)
+            tris = bvh_ops.world_triangles(
+                world.position, self.scene.buffers.tri_vertex
+            )
+            self._shadow_grid = shadowgrid.build_shadow_grid(
+                tris, self.scene.light.direction[:3]
+            )
+        return self._shadow_grid
+
     def _resources(self, pfd):
-        return {
+        res = {
             "scene": self.scene.buffers,
             "pfd": pfd,
             "prim_transform": self.prim_transform,
@@ -177,6 +197,9 @@ class Renderer:
             "bvh": self._get_bvh(),
             "shade_tables": self._get_shade_tables(),
         }
+        if self.config.shadow_accel == "grid":
+            res["shadow_grid"] = self._get_shadow_grid()
+        return res
 
     def check_binning(self, pfd=None) -> None:
         """Host-side validation that no triangles overflow the binned
