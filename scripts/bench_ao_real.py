@@ -82,28 +82,6 @@ def main():
     t2 = jnp.concatenate([ao_tmax, ao_tmax])
     print(f"AO rays: {o2.shape[0]}")
 
-    def plain(strips):
-        return traverse.trace(bvh, tris, o2, d2, raygen.SHADOW_TMIN, t2,
-                              anyhit=True, strips=strips).t.sum()
-
-    def phased(strips, phases):
-        return traverse.trace(
-            bvh, tris, o2, d2, raygen.SHADOW_TMIN, t2, anyhit=True,
-            strips=strips, compact=True, phases=phases,
-        ).t.sum()
-
-    tile, _ = raygen.make_tiler(h, w)
-
-    def pkt_phased(phases):
-        # tile each draw separately (preserves 8x16 pixel locality per draw)
-        ot = jnp.concatenate([tile(origin), tile(origin)])
-        dt = jnp.concatenate([tile(d) for d in dirs])
-        tt = jnp.concatenate([tile(ao_tmax), tile(ao_tmax)])
-        return traverse.trace(
-            bvh, tris, ot, dt, raygen.SHADOW_TMIN, tt, anyhit=True,
-            strips=1, packets=128, compact=True, packet_phases=phases,
-        ).t.sum()
-
     def block(a, bh, bw):
         """(H*W, ...) row-major -> block-major: contiguous (bh, bw) screen
         blocks (pure reshapes/transpose — no gather)."""

@@ -73,21 +73,6 @@ def main():
 
     tile, untile = raygen.make_tiler(h, w)
 
-    def trace_packet(strips, packets):
-        rec = traverse.trace(bvh, tris, tile(origin), tile(r_dir), 0.01,
-                             tile(tmax), strips=strips, packets=packets)
-        return rec.t.sum()
-
-    def trace_plain(strips):
-        rec = traverse.trace(bvh, tris, origin, r_dir, 0.01, tmax,
-                             strips=strips)
-        return rec.t.sum()
-
-    def trace_sorted(strips):
-        rec = traverse.trace(bvh, tris, origin, r_dir, 0.01, tmax,
-                             strips=strips, sort_rays=True)
-        return rec.t.sum()
-
     def trace_phased(strips, phases):
         rec = traverse.trace(
             bvh, tris, tile(origin), tile(r_dir), 0.01, tile(tmax),

@@ -64,17 +64,10 @@ def main():
                        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
     r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")
     pfd = r._make_pfd()
-    key = r._key()
-    r._get_frame_fn()
-    graph = r._graphs[key]
-    fetch = jax.jit(
-        lambda res: (
-            lambda out: (out["Depth"],
-                         out["World Space Normals and Object IDs"])
-        )(graph.run(res))
-    )
     t0 = time.time()
-    depth, normal_oid = fetch(r._resources(pfd))
+    depth, normal_oid = r.fetch_resource(
+        "Depth", "World Space Normals and Object IDs"
+    )
     sync(depth)
     print(f"gbuffer fetch: {time.time() - t0:.0f}s", flush=True)
     scene = r.scene.buffers

@@ -26,20 +26,9 @@ def main():
                        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
     r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")
     pfd = r._make_pfd()
-    # ONE jitted graph run for both resources (fetch_resource would compile
-    # the whole graph once per call)
-    import jax
-
-    key = r._key()
-    r._get_frame_fn()
-    graph = r._graphs[key]
-    fetch = jax.jit(
-        lambda res: (
-            lambda out: (out["Depth"],
-                         out["World Space Normals and Object IDs"])
-        )(graph.run(res))
+    depth, normal_oid = r.fetch_resource(
+        "Depth", "World Space Normals and Object IDs"
     )
-    depth, normal_oid = fetch(r._resources(pfd))
 
     uv = screen.pixel_uv_grid(h, w)
     p_world = screen.position_from_depth(depth, uv, pfd.camera_viewproj_inverse)

@@ -122,8 +122,10 @@ def test_hybrid_shadow_accel_grid_matches_bvh():
     img_bvh, _ = _render(sc, hs)
     img_grid, r = _render(sc, hs, shadow_accel="grid")
     np.testing.assert_array_equal(img_bvh, img_grid)
-    assert "Shadow Grid Build" in r.stats.table() or True  # pass registered
     assert "ShadowGrid" in r.list_resources()
+    # with grid-only shadows the BVH pass must be skipped (the grid's
+    # build-cost advantage is the point): no BVH resource in the graph
+    assert "BVH" not in r.list_resources()
 
 
 def test_hybrid_full_everything():

@@ -106,21 +106,32 @@ class HybridPath(RenderPath):
             comp_kwargs_resources["shadow_map"] = "Shadow Map"
 
         if rt_needed:
-            add_bvh_pass(graph, cfg.animated)
+            use_grid = (
+                cfg.shadow_accel == "grid"
+                and s.shadow_mode == ShadowMode.RAYTRACED
+            )
+            # the BVH is only consumed by the AO/reflection traces and by the
+            # shadow trace when it is NOT served by the grid — with grid-only
+            # shadows, skip the build/refit pass entirely (the grid's
+            # build-cost advantage is the point of choosing it)
+            bvh_needed = (
+                s.ao_mode == AmbientOcclusionMode.RAYTRACED
+                or s.reflection_mode == ReflectionMode.RAYTRACED
+                or (s.shadow_mode == ShadowMode.RAYTRACED and not use_grid)
+            )
+            if bvh_needed:
+                add_bvh_pass(graph, cfg.animated)
             rt_inputs = [
                 "scene",
                 "shade_tables",
                 "TriRows",
                 "pfd",
-                "BVH",
                 "WorldTris",
                 "Depth",
                 "World Space Normals and Object IDs",
             ]
-            use_grid = (
-                cfg.shadow_accel == "grid"
-                and s.shadow_mode == ShadowMode.RAYTRACED
-            )
+            if bvh_needed:
+                rt_inputs.append("BVH")
             if use_grid:
                 # alternative shadow AS: light-space grid.  Prebuilt host-side
                 # (renderer._get_shadow_grid, like the BVH); animated scenes
@@ -155,7 +166,7 @@ class HybridPath(RenderPath):
                     res["scene"],
                     res["shade_tables"],
                     res["TriRows"],
-                    res["BVH"],
+                    res.get("BVH"),
                     res["WorldTris"],
                     res["pfd"],
                     res["Depth"],

@@ -170,11 +170,14 @@ class Renderer:
         return self._shade_tables
 
     def _get_shadow_grid(self):
-        """Build the light-space shadow grid once (shadow_accel="grid"): the
+        """Build the light-space shadow grid (shadow_accel="grid"): the
         alternative shadow-ray AS (ops/shadowgrid.py).  Host-sized from the
         static scene; animated paths rebuild it in-frame at the same (static)
-        resolution (models/hybrid.py Shadow Grid Build)."""
-        if self._shadow_grid is None:
+        resolution (models/hybrid.py Shadow Grid Build).  The grid's cell
+        frame is light-aligned, so it is cached keyed on the light direction
+        and rebuilt when the light moves (the BVH needs no such rebuild)."""
+        light_key = tuple(np.asarray(self.scene.light.direction[:3]).tolist())
+        if self._shadow_grid is None or self._shadow_grid[0] != light_key:
             from vulkanhybridrenderer_tpu.ops import bvh as bvh_ops
             from vulkanhybridrenderer_tpu.ops import shadowgrid
             from vulkanhybridrenderer_tpu.ops.geometry import to_world
@@ -183,10 +186,24 @@ class Renderer:
             tris = bvh_ops.world_triangles(
                 world.position, self.scene.buffers.tri_vertex
             )
-            self._shadow_grid = shadowgrid.build_shadow_grid(
-                tris, self.scene.light.direction[:3]
+            self._shadow_grid = (
+                light_key,
+                shadowgrid.build_shadow_grid(
+                    tris, self.scene.light.direction[:3]
+                ),
             )
-        return self._shadow_grid
+        return self._shadow_grid[1]
+
+    def _uses_shadow_grid(self) -> bool:
+        """Mirror of models/hybrid.py's use_grid: the grid resource exists
+        only when a pass actually consumes it."""
+        from vulkanhybridrenderer_tpu.core.config import ShadowMode
+
+        return (
+            self.config.shadow_accel == "grid"
+            and self.path_name == "hybrid"
+            and self.config.hybrid.shadow_mode == ShadowMode.RAYTRACED
+        )
 
     def _resources(self, pfd):
         res = {
@@ -197,7 +214,7 @@ class Renderer:
             "bvh": self._get_bvh(),
             "shade_tables": self._get_shade_tables(),
         }
-        if self.config.shadow_accel == "grid":
+        if self._uses_shadow_grid():
             res["shadow_grid"] = self._get_shadow_grid()
         return res
 
@@ -299,15 +316,20 @@ class Renderer:
             out.extend(graph.passes[name].outputs)
         return out
 
-    def fetch_resource(self, resource: str):
-        """Render one frame and return any named graph resource (jitted -- the
-        whole graph compiles; eager graph.run would dispatch op-by-op)."""
+    def fetch_resource(self, *resources: str):
+        """Render one frame and return named graph resources (jitted -- the
+        whole graph compiles; eager graph.run would dispatch op-by-op).
+        Pass several names to fetch them from ONE compiled graph run (each
+        call compiles separately, ~minutes at 1080p on the tunneled TPU)."""
         key = self._key()
         self._get_frame_fn()
         graph = self._graphs[key]
         pfd = self._make_pfd()
-        fetch = jax.jit(lambda res: graph.run(res)[resource])
-        return fetch(self._resources(pfd))
+        fetch = jax.jit(
+            lambda res: tuple(graph.run(res)[r] for r in resources)
+        )
+        out = fetch(self._resources(pfd))
+        return out[0] if len(resources) == 1 else out
 
     def debug_dump(self, resource: str, path: str, srgb: bool = True):
         """Render and save any named graph resource as PNG (the reference's
