@@ -80,10 +80,15 @@ def main():
     from vulkanhybridrenderer_tpu.runtime.renderer import Renderer
     from vulkanhybridrenderer_tpu.scene import procedural
 
+    import os
+
     h, w = 1080, 1920
+    scene_name = os.environ.get("SCENE", "sponza")
+    scene = (procedural.bistro_proxy() if scene_name == "bistro"
+             else procedural.sponza_proxy())
     cfg = RenderConfig(width=w, height=h, alpha_raster="off",
                        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
-    r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")
+    r = Renderer(scene, cfg, path="hybrid")
     pfd = r._make_pfd()
     sc = r.scene.buffers
     world = to_world(sc, None)
@@ -154,10 +159,10 @@ def main():
     # mirror-reflection wavefront (closest-hit)
     refl_dir = (d - 2.0 * (d * n).sum(-1, keepdims=True) * n).astype(np.float32)
 
-    np.savez("/tmp/ao_rays.npz", origin=origin, dir0=dirs[0], dir1=dirs[1],
+    np.savez(os.environ.get("OUT", "/tmp/ao_rays.npz"), origin=origin, dir0=dirs[0], dir1=dirs[1],
              tmax=tmax, h=h, w=w, shadow_dir=shadow_dir,
              shadow_tmax=shadow_tmax, refl_dir=refl_dir)
-    print("wrote /tmp/ao_rays.npz")
+    print("wrote", os.environ.get("OUT", "/tmp/ao_rays.npz"))
 
 
 if __name__ == "__main__":

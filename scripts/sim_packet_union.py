@@ -126,17 +126,21 @@ def main():
     from vulkanhybridrenderer_tpu.ops import geometry
     from vulkanhybridrenderer_tpu.scene import procedural
 
-    data = np.load("/tmp/ao_rays.npz")
+    import os
+
+    data = np.load(os.environ.get("OUT", "/tmp/ao_rays.npz"))
     h, w = int(data["h"]), int(data["w"])
 
-    scene = procedural.sponza_proxy()
+    scene_name = os.environ.get("SCENE", "sponza")
+    scene = (procedural.bistro_proxy() if scene_name == "bistro"
+             else procedural.sponza_proxy())
     sc = scene.buffers
     world = geometry.to_world(sc)
     tris = bvh_ops.world_triangles(world.position, sc.tri_vertex)
     binary = native_bridge.build_sah_host(np.asarray(tris))
     b8 = bvh8_ops.build_bvh8_host(binary, tris)
     rows = np.asarray(b8.rows)
-    print(f"sponza BVH8: {rows.shape[0]} rows, depth {b8.depth}")
+    print(f"{scene_name} BVH8: {rows.shape[0]} rows, depth {b8.depth}")
 
     which = sys.argv[1:] or ["ao", "shadow", "refl"]
     if "ao" in which:
