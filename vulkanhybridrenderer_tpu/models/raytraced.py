@@ -64,15 +64,18 @@ class RaytracedPath(RenderPath):
                 if test_alpha else None
             )
             # coherent primary closest-hit: tiled PACKET traversal (8x16-pixel
-            # packets share one walk, 375 -> 254 ms at 2M rays; falls back to
-            # plain strips when the resolution doesn't tile evenly)
-            from vulkanhybridrenderer_tpu.ops.raygen import make_tiler
+            # packets share one walk, 375 -> 254 ms at 2M rays), strips =
+            # screen blocks (each strip pays its own spatially-correlated max
+            # walk, see ops/raygen.py); falls back to plain strips when the
+            # resolution doesn't tile evenly
+            from vulkanhybridrenderer_tpu.ops.raygen import pick_block_tiler
 
-            tile, untile = make_tiler(h, w)
+            tile, untile, nby, nbx = pick_block_tiler(h, w, 8, 16)
             if tile is not None:
+                strips = nby * nbx if nby * nbx >= 8 else 16
                 rc = traverse.trace(
                     bvh, tris, tile(o), tile(d), 0.1, TMAX, hit_filter=filt,
-                    strips=16, packets=128,
+                    strips=strips, packets=128,
                 )
                 rec = traverse.HitRecord(
                     t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u),
@@ -86,16 +89,24 @@ class RaytracedPath(RenderPath):
                 res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v
             )
             l_dir = -pfd.directional_light.direction[:3]
-            shadow = traverse.trace(
-                bvh,
-                tris,
-                at["position"],
-                jnp.broadcast_to(l_dir, at["position"].shape),
-                SHADOW_TMIN,
-                TMAX,
-                anyhit=True,
-                hit_filter=filt,
-            )
+            # secondary shadow rays: parallel (flat unions) -> same packet
+            # schedule as the hybrid shadow wavefront
+            pos = at["position"]
+            sh_dir = jnp.broadcast_to(l_dir, pos.shape)
+            if tile is not None:
+                sc_ = traverse.trace(
+                    bvh, tris, tile(pos), tile(sh_dir), SHADOW_TMIN, TMAX,
+                    anyhit=True, hit_filter=filt, strips=strips, packets=128,
+                )
+                shadow = traverse.HitRecord(
+                    t=untile(sc_.t), tri=untile(sc_.tri), u=untile(sc_.u),
+                    v=untile(sc_.v),
+                )
+            else:
+                shadow = traverse.trace(
+                    bvh, tris, pos, sh_dir, SHADOW_TMIN, TMAX,
+                    anyhit=True, hit_filter=filt,
+                )
             lit = ~shadow.hit
             shaded = rt_shade.primary_hit_shade(
                 scene, res["shade_tables"], res["TriRows"], pfd, rec.tri, rec.u,
