@@ -374,6 +374,12 @@ def test_traversal_fuzz_vs_brute_force():
         np.testing.assert_allclose(
             np.asarray(rec.t)[hit_bf], bf_t[hit_bf], rtol=1e-5, atol=1e-5
         )
+        # sub-packet closest hits through the same degenerate geometry
+        sub = traverse.trace(b8, tris, o, d, 1e-3, 1e4, packets=8, strips=1)
+        np.testing.assert_array_equal(np.asarray(sub.hit), hit_bf)
+        np.testing.assert_allclose(
+            np.asarray(sub.t)[hit_bf], bf_t[hit_bf], rtol=1e-5, atol=1e-5
+        )
 
 
 def test_leaf_max_12_matches_8():
