@@ -321,10 +321,13 @@ def hybrid_raytrace(
         # M = R/16 sub-packet width.  Phase 1 (40 steps ~ p90) retires ~90%
         # of sub-packets (cap 25%); <1% survive phase 2 (cap 6.25%);
         # overflow = one full-width re-trace (lax.cond), exactness preserved.
+        # phase-1 cap 1/3 (not 1/4): big scenes walk longer (BistroProxy
+        # p90 = 53 steps vs Sponza's 38, sim_packet_union) and an overflow
+        # means a full-width re-trace — the wider cap costs little
         rc = traverse.trace(
             bvh, tri_verts, rtile(origin), rtile(r_dir), SHADOW_TMIN,
             rtile(refl_tmax), strips=1, packets=16,
-            compact=True, packet_phases=((40, 4), (96, 16)),
+            compact=True, packet_phases=((40, 3), (96, 16)),
         )
         rec = traverse.HitRecord(
             t=runtile(rc.t), tri=runtile(rc.tri), u=runtile(rc.u),
