@@ -44,10 +44,41 @@ def test_sharded_frame_matches_single_device():
     np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
 
 
-def test_graft_dryrun():
-    import __graft_entry__ as g
+def test_graft_dryrun_tunnel_proof():
+    """dryrun_multichip must complete WITHOUT touching the default (axon/TPU)
+    platform.  Round 3's driver run timed out (rc=124) because _mesh_devices
+    called jax.devices() first, which dialed the dead TPU relay.  Simulate a
+    hard-dead platform: strip PALLAS_AXON_POOL_IPS so sitecustomize never
+    registers the axon plugin while JAX_PLATFORMS=axon stays pinned — then ANY
+    touch of the default platform raises immediately instead of hanging.  A
+    second layer asserts no non-CPU backend was initialized even when the
+    session has no axon plugin at all."""
+    import os
+    import subprocess
+    import sys
 
-    g.dryrun_multichip(8)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # axon plugin never registers
+    env["JAX_PLATFORMS"] = "axon"          # ...but stays the demanded default
+    env.pop("XLA_FLAGS", None)             # entry module must set device count
+    code = (
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "from jax._src import xla_bridge as xb\n"
+        "inited = set(getattr(xb, '_backends', {}))\n"
+        "assert inited <= {'cpu'}, f'dryrun initialized non-CPU backends: {inited}'\n"
+        "print('BACKENDS_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo_root, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun died with a dead default platform (the round-3 failure mode)\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert "BACKENDS_OK" in proc.stdout
 
 
 def test_graft_entry_compiles():
