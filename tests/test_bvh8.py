@@ -151,35 +151,13 @@ def test_sah_collapse_cornell_shadows():
     assert not hits[0] and hits[1]
 
 
-def test_phased_compaction_exact():
-    """compact=True (staged compaction + exact fallback) must match plain trace8
-    bit-for-bit, for both hit kinds, including when survivors overflow the
-    compaction buffers (small R exercises the cap >= r skip path too)."""
-    tris = _random_soup(400, seed=3)
-    b8 = _bvh8(tris)
-    for n_rays, seed in ((4096, 1), (512, 2)):
-        o, d = _rand_rays(n_rays, seed=seed)
-        for anyhit in (False, True):
-            a = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=anyhit,
-                               compact=False)
-            c = traverse.trace(b8, tris, o, d, 0.01, 1e4, anyhit=anyhit,
-                               compact=True)
-            if anyhit:
-                np.testing.assert_array_equal(
-                    np.asarray(a.tri >= 0), np.asarray(c.tri >= 0)
-                )
-            else:
-                np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(c.tri))
-                np.testing.assert_allclose(np.asarray(a.t), np.asarray(c.t),
-                                           atol=1e-5)
-
-
-def test_phased_compaction_ray0_survives():
-    """Regression (round-2 advisor, high): the compacted branch pads its
-    nonzero index list; padding lanes must not scatter stale pre-phase state
-    onto ray 0 (the old fill_value=0 + duplicate-index .set clobber).  Builds
-    a wavefront where ray 0 is one of few survivors of a short phase 1, so
-    the lax.cond compaction branch executes with ray 0 alive."""
+def test_phased_compaction_packet0_survives():
+    """Regression (round-2 advisor, high; ray-level variant retired round 4):
+    the compacted branch pads its nonzero index list; padding lanes must not
+    scatter stale pre-phase state onto packet 0 (the old fill_value=0 +
+    duplicate-index .set clobber).  Builds a wavefront where packet 0 (rays
+    0..63 at K=64) is one of few survivors of a short phase 1, so the
+    compaction branch executes with packet 0 alive."""
     tris = _random_soup(600, seed=11, spread=3.0)
     b8 = _bvh8(tris)
     n = 4096
@@ -198,9 +176,10 @@ def test_phased_compaction_ray0_survives():
     o_j, d_j = jnp.asarray(o), jnp.asarray(d)
     for anyhit in (False, True):
         a = traverse.trace(b8, tris, o_j, d_j, 0.01, 1e4, anyhit=anyhit,
-                           strips=1, compact=False)
+                           strips=1, packets=64, compact=False)
         c = traverse.trace(b8, tris, o_j, d_j, 0.01, 1e4, anyhit=anyhit,
-                           strips=1, compact=True, phases=((2, 2), (8, 8)))
+                           strips=1, packets=64, compact=True,
+                           packet_phases=((2, 2), (8, 8)))
         assert int(a.tri[0]) >= 0, "test setup: ray 0 must hit"
         if anyhit:
             np.testing.assert_array_equal(

@@ -1,16 +1,21 @@
-"""Wavefront ray traversal over the threaded LBVH (ops/bvh.py).
+"""Wavefront ray traversal over the BVH8 (ops/bvh8.py).
 
 Replaces vkCmdTraceRaysKHR / rayQuery (raytracing_execution_context.cpp:4-13,
-rayquery default.frag:36-44).  TPU-first formulation: a ray wavefront steps through
-the skip-pointer-threaded tree in lockstep -- per iteration every ray does one
-gather + slab-test/triangle-test + select; per-ray state is a single node index
-(no stacks).
+rayquery default.frag:36-44).  TPU-first formulation: ray wavefronts step
+through the tree in lockstep; the per-step (N, 128) BVH8 row gathers dominate
+cost (docs/PERF_STATUS.md cost model), so the production schedules all trade
+extra lane-dense VPU work for fewer gathers:
 
-Memory-layout design (the per-step gathers dominate):
-  * node records are packed into one (2N-1, 8) f32 row --
-    [lo.xyz, hi.xyz, next_or_tri, escape] -- so each step is ONE row gather
-    instead of ~9 scalar gathers; leaves encode next = -(tri + 2) < 0.
-  * triangle vertices are packed to (T, 9) rows, gathered only at leaves.
+  * _trace8_packet: K=128 rays share one walk (1 gather per packet-step) —
+    coherent wavefronts (shadow, primary).
+  * _trace8_subpacket: K<128 rays on the SUBLANE axis, M=R/K sub-packets on
+    lanes — dense VPU at any K; the AO (K=4) / reflection (K=16) sweet spots
+    measured by scripts/sim_packet_union.py.
+  * *_phased variants: staged compaction at (sub-)packet granularity for
+    heavy-tailed walks, with an exact overflow fallback.
+  * _trace8: per-ray walk, the no-packet fallback.
+  * _trace_flat: simple skip-pointer walk over the legacy threaded LBVH
+    (ops/bvh.py) — the independent test ORACLE, not a production path.
   * rays are traced in `strips` sequential slices (lax.map): the lockstep loop
     pays for the *worst* ray in a slice, so slicing coherent ray batches (image
     tiles, shadow rays) lets early-converging strips retire instead of idling
@@ -68,49 +73,6 @@ def pack_tris(tri_verts):
     return tri_verts.reshape(tri_verts.shape[0], 9)
 
 
-def pack_nodes16(bvh: BVH, tri_verts, octants: bool = False):
-    """Fused (2L-1, 16) rows for leaf_size == 1 traversal: ONE row gather per step.
-
-    Internal rows: [lo.xyz, hi.xyz, 0*6, left, escape, -1, 0].
-    Leaf rows:     [v0.xyz, v1.xyz, v2.xyz, 0*3, 0, escape, tri_id, 0]
-    (triangle data replaces the AABB -- Moller-Trumbore decides at leaves, so the
-    leaf slab test is redundant).  Column 14 (tri id, -1 for internal) doubles as
-    the leaf flag.
-
-    octants=True returns (8 * (2L-1), 16) with per-direction-octant ordered links
-    (bvh.next8/esc8) baked into cols 12/13 of each replica, so ORDERED traversal
-    still costs one gather per step (index = octant * total + node).  Trades 8x
-    node memory (64 B/node) for not paying 2 extra link gathers per step."""
-    total = bvh.left.shape[0]
-    is_leaf = bvh.leaf_tri >= 0
-    tri = jnp.where(is_leaf, bvh.order[jnp.maximum(bvh.leaf_tri, 0)], 0)
-    tv = tri_verts.reshape(-1, 9)[jnp.maximum(tri, 0)]
-    rows = jnp.zeros((total, 16), jnp.float32)
-    geom = jnp.where(
-        is_leaf[:, None],
-        tv[:, 0:6],
-        jnp.concatenate([bvh.aabb_min, bvh.aabb_max], axis=1),
-    )
-    rows = rows.at[:, 0:6].set(geom)
-    rows = rows.at[:, 6:9].set(jnp.where(is_leaf[:, None], tv[:, 6:9], 0.0))
-    rows = rows.at[:, 14].set(jnp.where(is_leaf, tri, -1).astype(jnp.float32))
-    if octants:
-        rows = jnp.broadcast_to(rows[None], (8, total, 16))
-        rows = jnp.concatenate(
-            [
-                rows[:, :, 0:12],
-                bvh.next8.astype(jnp.float32)[:, :, None],
-                bvh.esc8.astype(jnp.float32)[:, :, None],
-                rows[:, :, 14:16],
-            ],
-            axis=2,
-        )
-        return rows.reshape(8 * total, 16)
-    rows = rows.at[:, 12].set(bvh.left.astype(jnp.float32))
-    rows = rows.at[:, 13].set(bvh.escape.astype(jnp.float32))
-    return rows
-
-
 def ray_octants(direction):
     """Per-ray direction octant, matching bvh._octant_links' bit convention:
     o = (dx<0)<<2 | (dy<0)<<1 | (dz<0)."""
@@ -119,99 +81,6 @@ def ray_octants(direction):
         | ((direction[..., 1] < 0).astype(jnp.int32) << 1)
         | (direction[..., 2] < 0).astype(jnp.int32)
     )
-
-
-def _trace_flat16(
-    nodes16,  # (2L-1, 16) fused rows, or (8*(2L-1), 16) with baked octant links
-    links,  # None | "baked" | (next8 flat (8*total,), esc8 flat (8*total,))
-    root: int,
-    origin,
-    direction,
-    tmin,
-    tmax,
-    anyhit: bool,
-    hit_filter,
-    max_steps: int,
-    init_state=None,
-    return_state: bool = False,
-):
-    """leaf_size == 1 fast path: one node-row gather per step ("baked" ordered
-    mode gathers from the per-octant replicated table; "flat" tuple mode adds 2
-    flat link gathers).  Ordered modes walk each ray in its direction octant's
-    near-child-first order, so the t_best bound and anyhit early-out prune
-    aggressively.  init_state resumes a partially-traced wavefront
-    (node/t/tri/u/v), used by the compaction phases."""
-    r = origin.shape[0]
-    d = direction
-    safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
-    inv_d = 1.0 / safe_d
-    baked = isinstance(links, str) and links == "baked"
-    total = nodes16.shape[0] // 8 if baked else nodes16.shape[0]
-    if baked or isinstance(links, tuple):
-        link_base = ray_octants(d) * total  # (R,)
-    if isinstance(links, tuple):
-        next8f, esc8f = links
-
-    def cond(state):
-        node, t_best, tri_best, u_best, v_best, steps = state
-        return jnp.any(node >= 0) & (steps < max_steps)
-
-    def body(state):
-        node, t_best, tri_best, u_best, v_best, steps = state
-        live = node >= 0
-        node_safe = jnp.maximum(node, 0)
-        row = nodes16[link_base + node_safe if baked else node_safe]  # (R, 16)
-        tri = row[:, 14].astype(jnp.int32)
-        is_leaf = tri >= 0
-        if isinstance(links, tuple):
-            li = link_base + node_safe
-            esc = esc8f[li]  # flat 1-D gathers (fast path on TPU)
-            nxt = next8f[li]
-        else:
-            esc = row[:, 13].astype(jnp.int32)
-            nxt = row[:, 12].astype(jnp.int32)
-
-        # slab test (garbage-but-masked for leaf rows)
-        t0 = (row[:, 0:3] - origin) * inv_d
-        t1 = (row[:, 3:6] - origin) * inv_d
-        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-        box_hit = jnp.maximum(tn, tmin) <= jnp.minimum(tf, t_best)
-
-        # triangle test (garbage-but-masked for internal rows)
-        t, u, v, ok = moller_trumbore(
-            row[:, 0:3], row[:, 3:6], row[:, 6:9], origin, d
-        )
-        ok &= is_leaf & live & (t >= tmin) & (t < t_best)
-        if hit_filter is not None:
-            ok &= hit_filter(jnp.maximum(tri, 0), u, v, ok)
-
-        t_best = jnp.where(ok, t, t_best)
-        tri_best = jnp.where(ok, tri, tri_best)
-        u_best = jnp.where(ok, u, u_best)
-        v_best = jnp.where(ok, v, v_best)
-
-        nxt_node = jnp.where(is_leaf | ~box_hit, esc, nxt)
-        if anyhit:
-            nxt_node = jnp.where(ok, -1, nxt_node)  # terminate on first hit
-        node = jnp.where(live, nxt_node, node)
-        return node, t_best, tri_best, u_best, v_best, steps + 1
-
-    if init_state is None:
-        init = (
-            jnp.full((r,), root, jnp.int32),
-            tmax,
-            jnp.full((r,), -1, jnp.int32),
-            jnp.zeros((r,), jnp.float32),
-            jnp.zeros((r,), jnp.float32),
-            jnp.int32(0),
-        )
-    else:
-        init = init_state + (jnp.int32(0),)
-    node, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(cond, body, init)
-    if return_state:
-        return node, t_best, tri_best, u_best, v_best
-    return t_best, tri_best, u_best, v_best
 
 
 def _trace8(
@@ -407,110 +276,6 @@ def _trace8(
     if return_state:
         return out[:8]
     return out[4], out[5], out[6], out[7]
-
-
-def _trace8_phased(
-    rows,
-    root: int,
-    depth: int,
-    origin,
-    direction,
-    tmin,
-    tmax,
-    anyhit: bool,
-    hit_filter,
-    max_steps: int,
-    phases=((16, 2), (16, 8)),
-    leaf_max: int = 8,
-):
-    """_trace8 with staged active-ray compaction.
-
-    The lockstep loop pays every step for every lane, but most rays finish
-    early (measured on SponzaProxy: ~69% of shadow rays hit within 16 steps,
-    ~96% within 32).  After each phase the surviving rays compact into a
-    1/frac-width buffer and continue there, so total gather-index count tracks
-    the SUM of per-ray walk lengths instead of width x max.
-
-    Phases run SEQUENTIALLY (unconditionally compacting), so the XLA graph has
-    len(phases) + 1 traversal-loop instances plus one fallback — LINEAR in
-    phase count.  (The round-2 recursive lax.cond formulation cloned all
-    remaining phases into both cond branches: 2^phases loop bodies, the root
-    of the ~12-minute animated-config compiles.)
-
-    Exactness is unconditional: each phase records whether its survivors
-    overflowed the compaction buffer, and one top-level lax.cond re-traces the
-    whole strip uncompacted if any did (the branch costs nothing unless
-    taken, and overflow means the phase schedule is mistuned anyway).
-    """
-    r0 = origin.shape[0]
-    state = (
-        jnp.full((r0,), root, jnp.int32),
-        jnp.zeros((r0,), jnp.int32),
-        jnp.zeros((depth, r0), jnp.int32),
-        jnp.zeros((depth, r0), jnp.int32),
-        tmax,
-        jnp.full((r0,), -1, jnp.int32),
-        jnp.zeros((r0,), jnp.float32),
-        jnp.zeros((r0,), jnp.float32),
-    )
-    o_c, d_c, tn_c = origin, direction, tmin
-    overflow = jnp.bool_(False)
-    levels = []  # (idx, pre-compaction t/tri/u/v) to scatter back through
-    steps_used = 0
-    for p_steps, frac in phases:
-        take = max(0, min(p_steps, max_steps - steps_used))
-        state = _trace8(
-            rows, root, depth, o_c, d_c, tn_c, None, anyhit, hit_filter,
-            take, init_state=state, return_state=True, leaf_max=leaf_max,
-        )
-        steps_used += take
-        r = o_c.shape[0]
-        cap = max(1024, r // frac)
-        if cap >= r:
-            continue
-        alive = state[0] >= 0
-        overflow |= jnp.sum(alive.astype(jnp.int32)) > cap
-        # Pad with the OUT-OF-RANGE index r (not 0): gathers clamp and those
-        # lanes are masked dead via `ok`, and the scatter-back uses
-        # mode="drop" so padding lanes never write.  fill_value=0 would make
-        # every padding lane scatter a STALE pre-phase value onto ray 0,
-        # clobbering its fresh result whenever ray 0 survives the phase
-        # (round-2 advisor, high).
-        (idx,) = jnp.nonzero(alive, size=cap, fill_value=r)
-        ok = idx < r
-        safe = jnp.minimum(idx, r - 1)
-        levels.append((idx, state[4], state[5], state[6], state[7]))
-        state = (
-            jnp.where(ok, state[0][safe], -1),
-            state[1][safe],
-            state[2][:, safe],
-            state[3][:, safe],
-            state[4][safe],
-            state[5][safe],
-            state[6][safe],
-            state[7][safe],
-        )
-        o_c, d_c, tn_c = o_c[safe], d_c[safe], tn_c[safe]
-
-    t, tri, u, v = _trace8(
-        rows, root, depth, o_c, d_c, tn_c, None, anyhit, hit_filter,
-        max(0, max_steps - steps_used), init_state=state, leaf_max=leaf_max,
-    )
-    for idx, t_b, tri_b, u_b, v_b in reversed(levels):
-        t = t_b.at[idx].set(t, mode="drop")
-        tri = tri_b.at[idx].set(tri, mode="drop")
-        u = u_b.at[idx].set(u, mode="drop")
-        v = v_b.at[idx].set(v, mode="drop")
-    if not levels:
-        return t, tri, u, v
-
-    def fallback(_):
-        return _trace8(
-            rows, root, depth, origin, direction, tmin, tmax, anyhit,
-            hit_filter, max_steps, leaf_max=leaf_max,
-        )
-
-    return jax.lax.cond(overflow, fallback, lambda _: (t, tri, u, v), None)
 
 
 def _trace8_packet(
@@ -768,10 +533,11 @@ def _trace8_packet_phased(
     nonzero, the (cap, K) state gathers, and the scatter-back are all cheap.
 
     Each (p_steps, frac) phase runs the full-width loop p_steps steps, then
-    compacts live packets into a P/frac buffer.  Exactness mirrors
-    _trace8_phased: overflow of any compaction buffer triggers one top-level
-    uncompacted re-trace (lax.cond), and padding uses the out-of-range index
-    + mode='drop' scatters."""
+    compacts live packets into a P/frac buffer.  Exactness is unconditional:
+    overflow of any compaction buffer triggers one top-level uncompacted
+    re-trace (lax.cond, costs nothing unless taken), and padding uses the
+    out-of-range index + mode='drop' scatters (fill_value=0 would clobber
+    packet 0 with stale pre-phase state whenever it survives)."""
     k = k_rays
     r0 = origin.shape[0]
     p0 = r0 // k
@@ -1242,55 +1008,11 @@ def _trace_flat(
     return t_best, tri_best, u_best, v_best
 
 
-def _trace16_compacted(
-    nodes16, links, root, origin, direction, tmin, tmax, anyhit, hit_filter,
-    max_steps, phase1_steps: int = 512, tail_frac: int = 4,
-):
-    """Two-phase traversal with active-ray compaction.
-
-    Phase 1 walks everyone `phase1_steps` lockstep steps; typically only a small
-    tail of rays is still alive (the lockstep loop otherwise pays the worst ray's
-    path for the whole wavefront).  Survivors compact into an R/tail_frac buffer
-    and finish alone.  If more than R/tail_frac rays survive phase 1, the excess
-    keep their phase-1 state (same bounded-effort semantics as the global
-    max_steps cap; in practice survivors are well under capacity).
-    """
-    r = origin.shape[0]
-    node, t_b, tri_b, u_b, v_b = _trace_flat16(
-        nodes16, links, root, origin, direction, tmin, tmax, anyhit, hit_filter,
-        min(phase1_steps, max_steps), return_state=True,
-    )
-    cap = max(128, r // tail_frac)
-    # out-of-range padding + mode="drop" scatter: see _trace8_phased.compacted
-    # (fill_value=0 padding would clobber ray 0 with stale phase-1 state)
-    (alive_idx,) = jnp.nonzero(node >= 0, size=cap, fill_value=r)
-    alive_valid = alive_idx < r
-    safe = jnp.minimum(alive_idx, r - 1)
-    sub_node = jnp.where(alive_valid, node[safe], -1)
-    sub_state = (
-        sub_node,
-        t_b[safe],
-        tri_b[safe],
-        u_b[safe],
-        v_b[safe],
-    )
-    st, stri, su, sv = _trace_flat16(
-        nodes16, links, root, origin[safe], direction[safe],
-        tmin[safe], tmax[safe], anyhit, hit_filter,
-        max(0, max_steps - phase1_steps), init_state=sub_state,
-    )
-    t_b = t_b.at[alive_idx].set(st, mode="drop")
-    tri_b = tri_b.at[alive_idx].set(stri, mode="drop")
-    u_b = u_b.at[alive_idx].set(su, mode="drop")
-    v_b = v_b.at[alive_idx].set(sv, mode="drop")
-    return t_b, tri_b, u_b, v_b
-
-
 @partial(
     jax.jit,
     static_argnames=(
-        "anyhit", "hit_filter", "max_steps", "strips", "compact", "ordered",
-        "sort_rays", "phases", "packets", "packet_phases",
+        "anyhit", "hit_filter", "max_steps", "strips", "compact",
+        "sort_rays", "packets", "packet_phases",
     ),
 )
 def trace(
@@ -1305,57 +1027,48 @@ def trace(
     max_steps: int | None = None,
     strips: int = 32,
     compact: bool = False,
-    ordered: bool = True,
-    baked_links: bool = True,
     sort_rays: bool = False,
-    phases=((16, 2), (16, 8)),
     packets: int = 0,
     packet_phases=((64, 8),),
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
+    Production paths all take a BVH8 (ops/bvh8.py):
+      * packets=K groups every K consecutive rays into a (sub-)packet sharing
+        one BVH8 walk — K=128 fills the lane axis (_trace8_packet, coherent
+        wavefronts); K<128 puts K rays on sublanes x M sub-packets on lanes
+        (_trace8_subpacket, the AO/reflection sweet spots).
+      * compact (requires packets): staged compaction at (sub-)packet
+        granularity, schedule packet_phases — use when a small tail of
+        long-walking packets (grazing rays) would otherwise stretch the
+        lockstep loop (per-packet nonzero/scatter is cheap at ~16k packets).
+      * packets=0: per-ray BVH8 walk (_trace8) — fallback when the wavefront
+        can't be packet-tiled.
+    A legacy threaded-LBVH `BVH` routes to the simple skip-pointer walk
+    (_trace_flat), kept as the independent ORACLE for BVH8/native-builder
+    tests — never the production path.
+
     strips: number of sequential ray slices (see module docstring); rays are
-    padded to a multiple.  compact: two-phase active-ray compaction (leaf_size==1
-    path only).  ordered: per-ray direction-octant near-child-first traversal
-    (needs bvh.next8/esc8; leaf_size==1 path).  baked_links: replicate the node
-    table 8x with octant links baked in (one gather/step, 64 B/node extra) vs two
-    extra flat link gathers per step.  sort_rays: stable-sort rays by direction
-    octant before stripping (and unsort after) so each lockstep strip is
-    direction-coherent -- use for incoherent wavefronts (AO, reflections).
-    packets: K > 0 groups every K consecutive rays into a PACKET sharing one
-    BVH8 walk (one row gather per packet-step; see _trace8_packet) — the fast
-    path for coherent wavefronts; K = 128 fills the lane axis exactly.
-    packets + compact: staged compaction at PACKET granularity
-    (_trace8_packet_phased, schedule packet_phases) — use when a small tail
-    of long-walking packets (grazing rays) would otherwise stretch the
-    lockstep loop (per-packet nonzero/scatter is cheap at ~16k packets).
-    hit_filter(tri (R,), u, v, candidate) -> accept mask.
+    padded to a multiple.  sort_rays: stable-sort rays by direction octant
+    before stripping (and unsort after) so each lockstep strip is
+    direction-coherent.  hit_filter(tri (R,), u, v, candidate) -> accept mask.
     """
     r = origin.shape[0]
     tmin_a = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (r,))
     tmax_a = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,))
 
-    links = None
     wide = isinstance(bvh, BVH8)
     if wide:
         n_nodes = bvh.num_rows
-    elif bvh.leaf_size == 1:
-        nodes = tris9 = None
-        n_nodes = bvh.left.shape[0]
-        if ordered and bvh.next8 is not None:
-            # keep the baked table under ~1 GB; huge scenes use flat links
-            if baked_links and n_nodes <= 4_000_000:
-                nodes16 = pack_nodes16(bvh, tri_verts, octants=True)
-                links = "baked"
-            else:
-                nodes16 = pack_nodes16(bvh, tri_verts)
-                links = (bvh.next8.reshape(-1), bvh.esc8.reshape(-1))
-        else:
-            nodes16 = pack_nodes16(bvh, tri_verts)
     else:
         nodes = pack_nodes(bvh)
         tris9 = pack_tris(tri_verts)
         n_nodes = nodes.shape[0]
+    if compact and not packets:
+        raise ValueError(
+            "compact=True requires packets>0 (ray-level phased compaction "
+            "was retired: measured loser vs packet-level, round 3)"
+        )
     if max_steps is None:
         # The threaded walk visits at most ~2 nodes per descend/skip; bounding
         # the lockstep loop caps the pathological worst ray (a grazing miss that
@@ -1418,25 +1131,9 @@ def trace(
                     hit_filter, max_steps, k_rays=packets,
                     leaf_max=bvh.leaf_max,
                 )
-            if compact:
-                return _trace8_phased(
-                    bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
-                    hit_filter, max_steps, phases=phases,
-                    leaf_max=bvh.leaf_max,
-                )
             return _trace8(
                 bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
                 hit_filter, max_steps, leaf_max=bvh.leaf_max,
-            )
-        if bvh.leaf_size == 1:
-            if compact:
-                return _trace16_compacted(
-                    nodes16, links, bvh.root, o, dd, tn, tx, anyhit,
-                    hit_filter, max_steps,
-                )
-            return _trace_flat16(
-                nodes16, links, bvh.root, o, dd, tn, tx, anyhit, hit_filter,
-                max_steps
             )
         return _trace_flat(
             nodes, tris9, bvh.order, bvh.leaf_size, bvh.root, o, dd, tn, tx,
