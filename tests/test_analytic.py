@@ -24,6 +24,10 @@ Cases:
      the a-trous filter unchanged
   8. mirror reflection geometry: reflected red/blue wall classification at
      the analytically-mirrored ray's hit, derived in numpy
+  9. composition GGX combine == independent numpy GGX oracle (camera-facing
+     wall, all shadow/AO/reflection sources off)
+ 10. SSR march: floor-reflects-wall hit region + hit shading == closed-form
+     mirror geometry + the numpy GGX oracle
 """
 import numpy as np
 import pytest
@@ -469,3 +473,154 @@ def test_camera_plane_crossing_floor():
     )
     m = stable & (depth > 0)
     np.testing.assert_allclose(depth[m], expected[m], rtol=2e-3, atol=1e-5)
+
+
+def _np_ggx_direct(albedo, metallic, roughness, n, v, l, light_color,
+                   light_intensity, ambient):
+    """Independent numpy GGX combine, written from the reference's documented
+    formulas (common.glsl:116-150, composition.frag:121-134): Schlick Fresnel
+    (5 multiplies), Trowbridge-Reitz D with the reference's a2 = roughness^2
+    quirk, Schlick-GGX G with k = (r+1)^2/8.  n/v/l: (..., 3) normalized."""
+    roughness = np.clip(roughness, 0.04, 1.0)
+    h = l + v
+    h = h / np.linalg.norm(h, axis=-1, keepdims=True)
+    f0 = 0.04 + (albedo - 0.04) * metallic
+    hv = np.maximum((h * v).sum(-1, keepdims=True), 0.0)
+    m1 = 1.0 - hv
+    f = f0 + (1.0 - f0) * m1 * m1 * m1 * m1 * m1
+    a2 = roughness * roughness
+    nh = np.maximum((n * h).sum(-1), 0.0)
+    dd = nh * nh * (a2 - 1.0) + 1.0
+    d_term = a2 / (np.pi * dd * dd)
+    k = (roughness + 1.0) ** 2 * 0.125
+    nv = np.maximum((n * v).sum(-1), 0.0)
+    nl = np.maximum((n * l).sum(-1), 0.0)
+    g_term = (nv / (nv * (1.0 - k) + k)) * (nl / (nl * (1.0 - k) + k))
+    spec = (d_term * g_term)[..., None] * f / np.maximum(
+        4.0 * nv * nl, 1e-6
+    )[..., None]
+    diff = (1.0 - f) * (1.0 - metallic) * albedo / np.pi
+    common = nl[..., None] * light_intensity * light_color
+    return ambient + (diff + spec) * common
+
+
+def test_composition_ggx_closed_form():
+    """Composition GGX combine (composition.frag:121-134) against the
+    independent numpy oracle: camera-facing wall, single directional light,
+    every shadow/AO/reflection source OFF (shadow = ao = 1), so
+    out = albedo/pi + (diffuse + specular) * N.L * intensity * color with
+    per-pixel v from the analytically-known wall plane z = -4."""
+    base = np.array([0.6, 0.35, 0.2])
+    metallic, roughness = 0.3, 0.5
+    dist = 4.0
+    b = SceneBuilder()
+    b.add(box_mesh((1.5, 1.5, 0.05)), translate([0, 0, -dist - 0.05]),
+          base_color=(*base, 1.0), metallic_factor=metallic,
+          roughness_factor=roughness)
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0,
+                 yaw=0.0, pitch=0.0, roll=0.0,
+                 position=np.zeros(3, np.float32))
+    light_dir = np.array([0.3, -0.5, -0.8])
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    light = make_directional_light(light_dir, intensity=2.0)
+    scene = b.build("AnalyticGGX", cam, light)
+    cfg = RenderConfig(
+        width=W, height=H, shadow_map_size=64,
+        hybrid=HybridSettings(shadow_mode=ShadowMode.OFF,
+                              ao_mode=AmbientOcclusionMode.OFF),
+    )
+    r = Renderer(scene, cfg, path="hybrid")
+    img = np.asarray(r.render_frame())
+    depth = np.asarray(r.fetch_resource("Depth"))
+    interior = _erode(depth > 0.5 * (0.1 / dist), it=3)
+    assert interior.mean() > 0.05
+
+    # numpy oracle: per-pixel hit point on the z = -dist plane
+    dirs = _camera_rays(np.zeros(3), np.deg2rad(60.0), 1.0, W, H)
+    t_hit = dist / -dirs[..., 2]  # dirs z = -1
+    p = dirs * t_hit[..., None]
+    v = -p / np.linalg.norm(p, axis=-1, keepdims=True)
+    n = np.broadcast_to(np.array([0.0, 0.0, 1.0]), p.shape)
+    l = np.broadcast_to(-light_dir, p.shape)
+    expected = _np_ggx_direct(
+        base, metallic, roughness, n, v, l,
+        np.ones(3), np.full(3, 2.0), ambient=base / np.pi,
+    )
+    got = img[:3].transpose(1, 2, 0)
+    np.testing.assert_allclose(got[interior], expected[interior], atol=3e-3)
+
+
+def test_ssr_mirror_floor_analytic():
+    """SSR march (ssr.comp:61-137) against analytic reflection geometry: a
+    floor at y = -1 reflecting a wall at z = -6.  For floor pixels the
+    reflected ray R = (Ix, -Iy, Iz) and its wall hit Q are closed-form; where
+    Q is comfortably on-screen the march MUST register a hit (alpha = 1: the
+    0.45-wide hit band cannot be stepped over at step_size 0.1) and the
+    shaded color must equal the independent numpy GGX combine of the wall
+    sample (ssr.comp:28-59 w/ ambient 0.2/pi)."""
+    floor_y, wall_z = -1.0, -6.0
+    wall_base = np.array([0.7, 0.3, 0.2])
+    wall_rough = 0.9
+    b = SceneBuilder()
+    b.add(quad_mesh((5.0, 3.0)), translate([0, floor_y, -3.0]),
+          base_color=(0.4, 0.4, 0.45, 1.0), metallic_factor=0.0,
+          roughness_factor=0.3)
+    b.add(box_mesh((5.0, 4.0, 0.05)), translate([0, 0, wall_z - 0.05]),
+          base_color=(*wall_base, 1.0), metallic_factor=0.0,
+          roughness_factor=wall_rough)
+    cam = Camera(yfov=np.deg2rad(60.0), znear=0.1, aspect=1.0,
+                 yaw=0.0, pitch=0.0, roll=0.0,
+                 position=np.zeros(3, np.float32))
+    light_dir = np.array([0.2, -0.6, -0.75])
+    light_dir = light_dir / np.linalg.norm(light_dir)
+    light = make_directional_light(light_dir, intensity=2.0)
+    scene = b.build("AnalyticSSR", cam, light)
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+    cfg = RenderConfig(
+        width=W, height=H, shadow_map_size=64,
+        hybrid=HybridSettings(shadow_mode=ShadowMode.OFF,
+                              ao_mode=AmbientOcclusionMode.OFF,
+                              reflection_mode=ReflectionMode.SSR),
+    )
+    r = Renderer(scene, cfg, path="hybrid")
+    ssr_tex = np.asarray(r.fetch_resource("Screen Space Reflections"))
+
+    # numpy prediction: pixel ray -> floor point P -> mirrored ray -> wall Q
+    dirs = _camera_rays(np.zeros(3), np.deg2rad(60.0), 1.0, W, H)
+    dn = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    on_floor = dn[..., 1] < -1e-6
+    t_floor = np.where(on_floor, floor_y / np.where(on_floor, dn[..., 1], -1.0),
+                       np.inf)
+    z_floor = t_floor * dn[..., 2]
+    on_floor &= z_floor > wall_z + 0.05  # floor in front of the wall
+    p = dn * np.where(np.isfinite(t_floor), t_floor, 0.0)[..., None]
+    rdir = dn.copy()
+    rdir[..., 1] = -rdir[..., 1]  # reflect about (0,1,0)
+    t_wall = (wall_z - p[..., 2]) / rdir[..., 2]
+    q = p + rdir * t_wall[..., None]
+    half_vis = -wall_z * np.tan(np.deg2rad(30.0))  # frustum half-extent at wall
+    # conservative: Q well on-screen, above the floor line, march well within
+    # ray_distance (t_wall + band depth << 20)
+    sure_hit = (
+        on_floor
+        & (np.abs(q[..., 0]) < half_vis - 0.5)
+        & (q[..., 1] > floor_y + 0.4)
+        & (q[..., 1] < half_vis - 0.5)
+        & (t_wall > 0.2) & (t_wall < 15.0)
+    )
+    sure_hit = _erode(sure_hit, it=3)
+    assert sure_hit.mean() > 0.03, "test setup: predicted hit region too small"
+    np.testing.assert_allclose(ssr_tex[3][sure_hit], 1.0, atol=1e-6,
+                               err_msg="SSR missed an analytically-sure hit")
+
+    # color oracle at Q (wall attributes are constant, so binary-search uv
+    # error only perturbs v_dir by <~0.3 m at ~6 m -> tolerance 1e-2)
+    v = -q / np.linalg.norm(q, axis=-1, keepdims=True)  # cam at origin
+    n = np.broadcast_to(np.array([0.0, 0.0, 1.0]), q.shape)
+    l = np.broadcast_to(-light_dir, q.shape)
+    expected = _np_ggx_direct(
+        wall_base, 0.0, wall_rough, n, v, l,
+        np.ones(3), np.full(3, 2.0), ambient=wall_base * 0.2 / np.pi,
+    )
+    got = ssr_tex[:3].transpose(1, 2, 0)
+    np.testing.assert_allclose(got[sure_hit], expected[sure_hit], atol=1e-2)
