@@ -27,21 +27,79 @@ def _cpu_devices(n=8):
 
 
 def test_sharded_frame_matches_single_device():
+    """Full flagship modes (RT shadows + AO + reflections + SVGF): the mesh
+    frame must match single-device AND run the same production packet
+    schedules per row shard (raygen.LAST_SCHEDULES trace-time probe — the
+    round-3 sharded frame silently fell back to non-packet paths)."""
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+    from vulkanhybridrenderer_tpu.ops import raygen
+
     devs = _cpu_devices(8)
     with jax.default_device(devs[0]):
         sc = procedural.cornell_box()
         cfg = RenderConfig(
             width=96, height=64, shadow_map_size=128,
             hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED,
-                                  ao_mode=AmbientOcclusionMode.RAYTRACED),
+                                  ao_mode=AmbientOcclusionMode.RAYTRACED,
+                                  reflection_mode=ReflectionMode.RAYTRACED,
+                                  denoise=True),
         )
         img_single = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
+        single_scheds = dict(raygen.LAST_SCHEDULES)
+        assert single_scheds["shadow"].startswith("packet128")
+        assert single_scheds["ao"].startswith("subpacket4")
+        assert single_scheds["refl"].startswith("subpacket16")
+        assert "sharded_rows" not in single_scheds
+
         mesh = make_mesh(devs)
         img_mesh = np.asarray(
             Renderer(sc, cfg, path="hybrid", mesh=mesh).render_frame()
         )
+        mesh_scheds = dict(raygen.LAST_SCHEDULES)
+        assert mesh_scheds["sharded_rows"] == 64 // 8
+        # each 8-row shard still compiles the production packet schedules
+        assert mesh_scheds["shadow"].startswith("packet128")
+        assert mesh_scheds["ao"].startswith("subpacket4")
+        assert mesh_scheds["refl"].startswith("subpacket16")
     # sharding must not change the result (pure data-parallel + XLA halo exchange)
     np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
+
+
+def test_odd_resolution_uses_packet_schedules():
+    """padded_block_tiler removes every divisibility fallback: an odd slab
+    (e.g. 84x52 — neither 8x16 nor 4x4 tiles divide 52 rows x 84 cols) must
+    still compile the packet schedules and render finite pixels."""
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+    from vulkanhybridrenderer_tpu.ops import raygen
+
+    sc = procedural.cornell_box()
+    cfg = RenderConfig(
+        width=84, height=52, shadow_map_size=64,
+        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED,
+                              ao_mode=AmbientOcclusionMode.RAYTRACED,
+                              reflection_mode=ReflectionMode.RAYTRACED),
+    )
+    img = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
+    assert np.isfinite(img).all()
+    assert raygen.LAST_SCHEDULES["shadow"].startswith("packet128")
+    assert raygen.LAST_SCHEDULES["ao"].startswith("subpacket4")
+    assert raygen.LAST_SCHEDULES["refl"].startswith("subpacket16")
+
+
+def test_coverage_msaa_mesh_config_validation():
+    """Coverage MSAA's shared-binning raster is single-device by design; the
+    Renderer must reject the combination up front with the supported
+    alternative, not deep inside a sharded trace."""
+    from vulkanhybridrenderer_tpu.core.config import ForwardSettings
+
+    devs = _cpu_devices(8)
+    mesh = make_mesh(devs)
+    cfg = RenderConfig(
+        width=96, height=64, shadow_map_size=64,
+        forward=ForwardSettings(msaa_samples=4, msaa_mode="coverage"),
+    )
+    with pytest.raises(ValueError, match="supersample"):
+        Renderer(procedural.cornell_box(), cfg, path="forward", mesh=mesh)
 
 
 def test_graft_dryrun_tunnel_proof():

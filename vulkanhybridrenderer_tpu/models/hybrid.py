@@ -174,6 +174,7 @@ class HybridPath(RenderPath):
                     ao_rays=cfg.ao_rays,
                     settings=s,
                     shadow_grid=res.get("ShadowGrid"),
+                    mesh=res.get("mesh"),
                 )
                 return {
                     "Raytraced Shadows and Ambient Occlusion": shadow_ao,

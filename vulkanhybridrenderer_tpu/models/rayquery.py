@@ -46,22 +46,17 @@ class RayqueryPath(RenderPath):
             origins = attrs["position"].reshape(-1, 3)
             # parallel shadow rays (flat unions): packet schedule with
             # screen-block strips, like the hybrid shadow wavefront
-            from vulkanhybridrenderer_tpu.ops.raygen import pick_block_tiler
+            from vulkanhybridrenderer_tpu.ops.raygen import padded_block_tiler
 
-            tile, untile, nby, nbx = pick_block_tiler(h, w, 8, 16)
+            tile, untile, nby, nbx = padded_block_tiler(h, w, 8, 16)
             dirs = jnp.broadcast_to(l_dir, origins.shape)
-            if tile is not None:
-                strips = nby * nbx if nby * nbx >= 8 else 16
-                rec_t = traverse.trace(
-                    res["BVH"], res["WorldTris"], tile(origins), tile(dirs),
-                    0.1, 10000.0, anyhit=True, strips=strips, packets=128,
-                )
-                hit = untile(rec_t.hit)
-            else:
-                hit = traverse.trace(
-                    res["BVH"], res["WorldTris"], origins, dirs,
-                    0.1, 10000.0, anyhit=True,
-                ).hit
+            strips = nby * nbx if nby * nbx >= 8 else 16
+            rec_t = traverse.trace(
+                res["BVH"], res["WorldTris"], tile(origins), tile(dirs),
+                0.1, tile(jnp.full((h * w,), 10000.0, jnp.float32), fill=-1.0),
+                anyhit=True, strips=strips, packets=128,
+            )
+            hit = untile(rec_t.hit)
             in_shadow = jnp.where(hit, 0.0, 1.0).reshape(h, w)
             img = shade.rayquery_shade(attrs, pfd, in_shadow)
             return {RENDER_OUTPUT: img}

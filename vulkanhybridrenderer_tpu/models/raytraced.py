@@ -66,24 +66,20 @@ class RaytracedPath(RenderPath):
             # coherent primary closest-hit: tiled PACKET traversal (8x16-pixel
             # packets share one walk, 375 -> 254 ms at 2M rays), strips =
             # screen blocks (each strip pays its own spatially-correlated max
-            # walk, see ops/raygen.py); falls back to plain strips when the
-            # resolution doesn't tile evenly
-            from vulkanhybridrenderer_tpu.ops.raygen import pick_block_tiler
+            # walk, see ops/raygen.py); padded tiler -> works at ANY resolution
+            from vulkanhybridrenderer_tpu.ops.raygen import padded_block_tiler
 
-            tile, untile, nby, nbx = pick_block_tiler(h, w, 8, 16)
-            if tile is not None:
-                strips = nby * nbx if nby * nbx >= 8 else 16
-                rc = traverse.trace(
-                    bvh, tris, tile(o), tile(d), 0.1, TMAX, hit_filter=filt,
-                    strips=strips, packets=128,
-                )
-                rec = traverse.HitRecord(
-                    t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u),
-                    v=untile(rc.v),
-                )
-            else:
-                rec = traverse.trace(bvh, tris, o, d, 0.1, TMAX,
-                                     hit_filter=filt)
+            tile, untile, nby, nbx = padded_block_tiler(h, w, 8, 16)
+            strips = nby * nbx if nby * nbx >= 8 else 16
+            rc = traverse.trace(
+                bvh, tris, tile(o), tile(d), 0.1,
+                tile(jnp.full((h * w,), TMAX, jnp.float32), fill=-1.0),
+                hit_filter=filt, strips=strips, packets=128,
+            )
+            rec = traverse.HitRecord(
+                t=untile(rc.t), tri=untile(rc.tri), u=untile(rc.u),
+                v=untile(rc.v),
+            )
 
             at = rt_shade.interpolate_hit_attributes(
                 res["shade_tables"], res["TriRows"], rec.tri, rec.u, rec.v
@@ -93,20 +89,15 @@ class RaytracedPath(RenderPath):
             # schedule as the hybrid shadow wavefront
             pos = at["position"]
             sh_dir = jnp.broadcast_to(l_dir, pos.shape)
-            if tile is not None:
-                sc_ = traverse.trace(
-                    bvh, tris, tile(pos), tile(sh_dir), SHADOW_TMIN, TMAX,
-                    anyhit=True, hit_filter=filt, strips=strips, packets=128,
-                )
-                shadow = traverse.HitRecord(
-                    t=untile(sc_.t), tri=untile(sc_.tri), u=untile(sc_.u),
-                    v=untile(sc_.v),
-                )
-            else:
-                shadow = traverse.trace(
-                    bvh, tris, pos, sh_dir, SHADOW_TMIN, TMAX,
-                    anyhit=True, hit_filter=filt,
-                )
+            sc_ = traverse.trace(
+                bvh, tris, tile(pos), tile(sh_dir), SHADOW_TMIN,
+                tile(jnp.full((h * w,), TMAX, jnp.float32), fill=-1.0),
+                anyhit=True, hit_filter=filt, strips=strips, packets=128,
+            )
+            shadow = traverse.HitRecord(
+                t=untile(sc_.t), tri=untile(sc_.tri), u=untile(sc_.u),
+                v=untile(sc_.v),
+            )
             lit = ~shadow.hit
             shaded = rt_shade.primary_hit_shade(
                 scene, res["shade_tables"], res["TriRows"], pfd, rec.tri, rec.u,

@@ -33,6 +33,12 @@ SHADOW_TMAX = 10000.0
 AO_TMAX = 5.0
 PACKET_TILE = (8, 16)  # pixel tile grouped into one 128-ray packet
 
+# Trace-time probe (tests): hybrid_raytrace records which traversal schedule
+# each wavefront actually compiled with, e.g. {"shadow": "packet128/...",
+# "sharded_rows": 8}.  Written during jit tracing, so it reflects the real
+# compiled kernels of the LAST (re)trace.
+LAST_SCHEDULES: dict = {}
+
 
 def make_tiler(h: int, w: int):
     """(tile, untile) permutations turning image-order (H*W, ...) arrays into
@@ -104,6 +110,40 @@ def pick_block_tiler(h: int, w: int, th: int, tw: int, max_blocks: int = 8):
     return None, None, 0, 0
 
 
+def padded_block_tiler(h: int, w: int, th: int, tw: int, max_blocks: int = 8):
+    """Block tiler that NEVER falls back: pads rows/cols up to (th, tw)
+    multiples and picks the largest block grid dividing the padded
+    resolution (nby = nbx = 1 always divides, so this always succeeds).
+    Padding pixels are dead rays — callers tile tmax with fill=-1.0 so they
+    exit the lockstep walk at step one and cost nothing.
+
+    Returns (tile, untile, nby, nbx): tile(a, fill) maps (h*w, ...) image-
+    order arrays to (hp*wp, ...) block-tile order; untile inverts and slices
+    the padding back off.  Replaces the round-3 divisibility-gated tilers
+    whose silent fallback dropped odd-sized slabs (e.g. 135-row mesh shards
+    at 1080p) onto the non-packet paths."""
+    hp = -(-h // th) * th
+    wp = -(-w // tw) * tw
+    base_tile, base_untile, nby, nbx = pick_block_tiler(
+        hp, wp, th, tw, max_blocks
+    )
+
+    def tile(a, fill=0.0):
+        rest = a.shape[1:]
+        x = a.reshape(h, w, *rest)
+        if hp != h or wp != w:
+            pads = [(0, hp - h), (0, wp - w)] + [(0, 0)] * len(rest)
+            x = jnp.pad(x, pads, constant_values=fill)
+        return base_tile(x.reshape(hp * wp, *rest))
+
+    def untile(a):
+        rest = a.shape[1:]
+        x = base_untile(a).reshape(hp, wp, *rest)
+        return x[:h, :w].reshape(h * w, *rest)
+
+    return tile, untile, nby, nbx
+
+
 def make_blocker(h: int, w: int, nb: int = 8):
     """(block, unblock) permutations turning image-order (H*W, ...) arrays into
     coarse block-major order: nb x nb contiguous screen blocks of (h/nb, w/nb)
@@ -142,6 +182,7 @@ def hybrid_raytrace(
     ao_rays: int = 2,
     settings=None,
     shadow_grid=None,
+    mesh=None,
 ):
     """depth: (H, W); normal_oid: (4, H, W).  Returns
     ("Raytraced Shadows and Ambient Occlusion" (4, H, W),
@@ -225,13 +266,163 @@ def hybrid_raytrace(
     if nl_skip_exact:
         ndl = jnp.sum(n.reshape(-1, 3) * l, axis=-1)
         shadow_tmax = jnp.where(ndl <= 0.0, -1.0, shadow_tmax)
-    # coherent wavefront -> tiled PACKET traversal (8x16-pixel packets share
-    # one walk; ~25-35% over plain strips, scripts/bench_packets.py).  Strips
-    # are screen BLOCKS (one strip per block): shadow union walks are nearly
-    # flat in packet size (parallel rays) and the cost is the per-strip MAX
-    # walk, so small spatially-correlated strips approach the mean
-    # (sim_packet_union: p99.9 38 steps vs mean 12.9 at K=128).
-    tile, untile, nby, nbx = pick_block_tiler(h, w, *PACKET_TILE)
+    # ---- AO directions: `ao_rays` cosine-hemisphere samples (:43-55) ------------
+    # All AO rays trace as ONE wavefront (ao_rays * H * W): identical RNG draw
+    # order to the reference's per-ray loop; fixed per-trace overheads are
+    # paid once.  Octant pre-sorting is strictly worse (BVH8's
+    # slot-XOR-octant ordering already handles per-ray direction).
+    n_flat = n.reshape(-1, 3)
+    dirs = []
+    for _ in range(ao_rays):
+        state, r1 = rng.random01(state)
+        state, r2 = rng.random01(state)
+        u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
+        dirs.append(to_basis(n_flat, uniform_sample_cosine_hemisphere(u2)))
+    ao_tmax = jnp.where(sky_flat, -1.0, AO_TMAX)
+
+    # ---- mirror reflection directions (:57-66) -----------------------------------
+    cam = pfd.camera_position
+    i_dir = normalize(p_world - cam).reshape(-1, 3)
+    r_dir = reflect(i_dir, n_flat)
+    refl_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
+
+    want_bvh_shadow = trace_shadow and shadow_grid is None
+    LAST_SCHEDULES.clear()
+
+    def trace_wavefronts(bvh_a, tv_a, h_l, origin_l, sdir_l, stmax_l,
+                         adirs_l, atmax_l, rdir_l, rtmax_l):
+        """Production traversal schedules over one h_l x w pixel slab — the
+        whole image single-device, ONE ROW SHARD under a mesh (so sharding
+        runs the exact same kernels).  All tilers are padded_block_tiler:
+        never a divisibility fallback.  Returns image-order (h_l*w,) arrays
+        (shadow_hit, ao, refl t/tri/u/v); disabled wavefronts return zeros.
+        """
+        r_l = h_l * w
+        zero = jnp.zeros((r_l,), jnp.float32)
+        shadow_hit = zero
+        ao_l = zero
+        refl_tuv = (zero, jnp.zeros((r_l,), jnp.int32), zero, zero)
+        if want_bvh_shadow:
+            # coherent wavefront -> 128-ray PACKETs over 8x16-pixel tiles
+            # (~25-35% over plain strips, scripts/bench_packets.py).  Strips
+            # are screen BLOCKS: shadow union walks are nearly flat in packet
+            # size (parallel rays) and the cost is the per-strip MAX walk, so
+            # small spatially-correlated strips approach the mean
+            # (sim_packet_union: p99.9 38 steps vs mean 12.9 at K=128).
+            tile, untile, nby, nbx = padded_block_tiler(h_l, w, *PACKET_TILE)
+            strips = nby * nbx if nby * nbx >= 8 else 16
+            rec = traverse.trace(
+                bvh_a, tv_a, tile(origin_l), tile(sdir_l), SHADOW_TMIN,
+                tile(stmax_l, fill=-1.0), anyhit=True, strips=strips,
+                packets=128,
+            )
+            shadow_hit = untile(rec.hit.astype(jnp.float32))
+            LAST_SCHEDULES["shadow"] = f"packet128/blocks{nby}x{nbx}"
+        if trace_ao:
+            # K=4 SUB-packets of one 2x2-pixel tile each: AO hemisphere draws
+            # are incoherent, so big packets degrade to the union of
+            # everything (K=128 measured 1141 ms), but 4 rays from one 2x2
+            # tile share enough upper-tree walk to win: R/4 row gathers at
+            # union walks only ~2.1x the per-ray mean (sim_packet_union:
+            # U(4)=25.5 vs U(1)=12.0).  Strips are screen blocks (one per
+            # block per draw): walk lengths are spatially correlated, each
+            # strip pays its own short max.
+            blk, unblk, nby, nbx = padded_block_tiler(h_l, w, 2, 2)
+            rec = traverse.trace(
+                bvh_a,
+                tv_a,
+                jnp.concatenate([blk(origin_l)] * ao_rays),
+                jnp.concatenate([blk(d) for d in adirs_l]),
+                SHADOW_TMIN,
+                jnp.concatenate([blk(atmax_l, fill=-1.0)] * ao_rays),
+                anyhit=True,
+                strips=ao_rays * nby * nbx,
+                packets=4,
+            )
+            miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, -1)
+            ao_l = unblk(jnp.sum(miss, axis=0) / ao_rays)
+            LAST_SCHEDULES["ao"] = f"subpacket4/blocks{nby}x{nbx}"
+        if trace_refl:
+            # mirror rays off mostly-smooth G-buffer normals are tile-
+            # coherent, but their closest-hit walks are LONG with a heavy
+            # tail (sim_packet_union K=16: p50 22 / p99 68 / p99.9 95) that
+            # dominates the lockstep loop — K=16 sub-packets (4x4-pixel
+            # tiles) with staged compaction: R/16 gathers per step at near-
+            # per-ray walk lengths, and the nonzero/gather/scatter compaction
+            # machinery is cheap at M = R/16 sub-packet width.  Phase 1 (40
+            # steps ~ p90) retires ~90% of sub-packets (cap 1/3: big scenes
+            # walk longer — BistroProxy p90 = 53 steps vs Sponza's 38 — and
+            # overflow means a full-width re-trace, so the wider cap costs
+            # little); <1% survive phase 2 (cap 1/16).
+            rtile, runtile, nby, nbx = padded_block_tiler(h_l, w, 4, 4)
+            rc = traverse.trace(
+                bvh_a, tv_a, rtile(origin_l), rtile(rdir_l), SHADOW_TMIN,
+                rtile(rtmax_l, fill=-1.0), strips=1, packets=16,
+                compact=True, packet_phases=((40, 3), (96, 16)),
+            )
+            refl_tuv = (
+                runtile(rc.t), runtile(rc.tri), runtile(rc.u), runtile(rc.v)
+            )
+            LAST_SCHEDULES["refl"] = "subpacket16/phased(40,3)(96,16)"
+        return (shadow_hit, ao_l) + refl_tuv
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if mesh is not None and n_dev > 1 and h % n_dev == 0:
+        # shard_map over image rows: rays are embarrassingly parallel and the
+        # BVH/scene stay replicated, so each device runs the FULL production
+        # packet schedules on its own row slab with zero collectives (GSPMD
+        # over the global block-tiler transposes would instead reshuffle the
+        # whole wavefront across devices every trace).
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from vulkanhybridrenderer_tpu.parallel.mesh import ROW_AXIS
+
+        LAST_SCHEDULES["sharded_rows"] = h // n_dev
+
+        def to_img(a):  # (H*W, C...) -> (H, W, C...)
+            return a.reshape((h, w) + a.shape[1:])
+
+        def body(bvh_a, tv_a, o2, sd2, st2, ad3, at2, rd2, rt2):
+            def fl(a):  # (h_l, w, C...) -> (h_l*w, C...)
+                return a.reshape((-1,) + a.shape[2:])
+
+            outs = trace_wavefronts(
+                bvh_a, tv_a, o2.shape[0], fl(o2), fl(sd2), fl(st2),
+                [fl(ad3[i]) for i in range(ao_rays)], fl(at2), fl(rd2),
+                fl(rt2),
+            )
+            return tuple(o.reshape(o2.shape[0], w) for o in outs)
+
+        # image-shaped args shard on their HEIGHT axis: (h, w[, c]) -> axis 0,
+        # the stacked AO dirs (ao_rays, h, w, 3) -> axis 1
+        img2, img3 = P(ROW_AXIS, None), P(ROW_AXIS, None, None)
+        dirs4 = P(None, ROW_AXIS, None, None)
+        in_specs = (P(), P(), img3, img3, img2, dirs4, img2, img3, img2)
+        try:
+            fn = shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=(img2,) * 6, check_vma=False,
+            )
+        except TypeError:  # older jax: check_rep instead of check_vma
+            fn = shard_map(
+                body, mesh=mesh, in_specs=in_specs,
+                out_specs=(img2,) * 6, check_rep=False,
+            )
+        outs = fn(
+            bvh, tri_verts, to_img(origin), to_img(shadow_dir),
+            to_img(shadow_tmax), jnp.stack([to_img(d) for d in dirs]),
+            to_img(ao_tmax), to_img(r_dir), to_img(refl_tmax),
+        )
+        outs = tuple(o.reshape(h * w) for o in outs)
+    else:
+        outs = trace_wavefronts(
+            bvh, tri_verts, h, origin, shadow_dir, shadow_tmax, dirs,
+            ao_tmax, r_dir, refl_tmax,
+        )
+    shadow_hit_f, ao_flat, rt_t, rt_tri, rt_u, rt_v = outs
+
+    # ---- shadow source ----------------------------------------------------------
     if not trace_shadow:
         shadow = jnp.ones((h, w), jnp.float32)
     elif shadow_grid is not None:
@@ -245,99 +436,17 @@ def hybrid_raytrace(
             strips=64,
         )
         shadow = jnp.where(hit, 0.0, 1.0).reshape(h, w)
-    elif tile is not None:
-        strips = nby * nbx if nby * nbx >= 8 else 16
-        rec = traverse.trace(
-            bvh, tri_verts, tile(origin), tile(shadow_dir), SHADOW_TMIN,
-            tile(shadow_tmax), anyhit=True, strips=strips, packets=128,
-        )
-        shadow_hit = untile(rec.hit)
-        shadow = jnp.where(shadow_hit, 0.0, 1.0).reshape(h, w)
     else:
-        rec = traverse.trace(
-            bvh, tri_verts, origin, shadow_dir, SHADOW_TMIN, shadow_tmax,
-            anyhit=True, strips=64,
-        )
-        shadow = jnp.where(rec.hit, 0.0, 1.0).reshape(h, w)
+        shadow = jnp.where(shadow_hit_f > 0.5, 0.0, 1.0).reshape(h, w)
 
-    # ---- AO: `ao_rays` cosine-hemisphere samples around N (:43-55) --------------
-    # All AO rays trace as ONE wavefront (ao_rays * H * W): identical RNG draw
-    # order to the reference's per-ray loop; fixed per-trace overheads are
-    # paid once.  Octant pre-sorting is strictly worse (BVH8's
-    # slot-XOR-octant ordering already handles per-ray direction).
-    n_flat = n.reshape(-1, 3)
-    dirs = []
-    for _ in range(ao_rays):
-        state, r1 = rng.random01(state)
-        state, r2 = rng.random01(state)
-        u2 = jnp.stack([r1, r2], axis=-1).reshape(-1, 2)
-        dirs.append(to_basis(n_flat, uniform_sample_cosine_hemisphere(u2)))
-    ao_tmax = jnp.where(sky_flat, -1.0, AO_TMAX)
-    if not trace_ao:
-        ao = jnp.ones((h, w), jnp.float32)
-    else:
-        # K=4 SUB-packets of one 2x2-pixel tile each: AO hemisphere draws are
-        # incoherent, so big packets degrade to the union of everything
-        # (K=128 measured 1141 ms), but 4 rays from one 2x2 tile share enough
-        # upper-tree walk to win: R/4 row gathers at union walks only ~2.1x
-        # the per-ray mean (sim_packet_union: U(4)=25.5 vs U(1)=12.0).
-        # Strips are screen blocks (one per block per draw): walk lengths are
-        # spatially correlated, each strip pays its own short max.
-        blk, unblk, nby, nbx = pick_block_tiler(h, w, 2, 2)
-        if blk is None:
-            blk = unblk = lambda a: a
-            strips, packets = 64, 0
-        else:
-            strips, packets = ao_rays * nby * nbx, 4
-        rec = traverse.trace(
-            bvh,
-            tri_verts,
-            jnp.concatenate([blk(origin)] * ao_rays),
-            jnp.concatenate([blk(d) for d in dirs]),
-            SHADOW_TMIN,
-            jnp.concatenate([blk(ao_tmax)] * ao_rays),
-            anyhit=True,
-            strips=strips,
-            packets=packets,
-        )
-        miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, h * w)
-        ao = unblk(jnp.sum(miss, axis=0) / ao_rays).reshape(h, w)
+    # ---- AO source ---------------------------------------------------------------
+    ao = jnp.ones((h, w), jnp.float32) if not trace_ao else ao_flat.reshape(h, w)
 
-    # ---- mirror reflections (:57-66) ---------------------------------------------
-    cam = pfd.camera_position
-    i_dir = normalize(p_world - cam).reshape(-1, 3)
-    r_dir = reflect(i_dir, n_flat)
-    refl_tmax = jnp.where(sky_flat, -1.0, SHADOW_TMAX)
-    rtile, runtile, _, _ = pick_block_tiler(h, w, 4, 4)
+    # ---- reflection shading (reflection_hit.rchit) --------------------------------
     if not trace_refl:
         refl = jnp.zeros((h, w, 4), jnp.float32)
-    elif rtile is not None:
-        # mirror rays off mostly-smooth G-buffer normals are tile-coherent,
-        # but their closest-hit walks are LONG with a heavy tail
-        # (sim_packet_union K=16: p50 22 / p99 68 / p99.9 95) that dominates
-        # the lockstep loop — K=16 sub-packets (4x4-pixel tiles) with staged
-        # compaction: R/16 gathers per step at near-per-ray walk lengths,
-        # and the nonzero/gather/scatter compaction machinery is cheap at
-        # M = R/16 sub-packet width.  Phase 1 (40 steps ~ p90) retires ~90%
-        # of sub-packets (cap 25%); <1% survive phase 2 (cap 6.25%);
-        # overflow = one full-width re-trace (lax.cond), exactness preserved.
-        # phase-1 cap 1/3 (not 1/4): big scenes walk longer (BistroProxy
-        # p90 = 53 steps vs Sponza's 38, sim_packet_union) and an overflow
-        # means a full-width re-trace — the wider cap costs little
-        rc = traverse.trace(
-            bvh, tri_verts, rtile(origin), rtile(r_dir), SHADOW_TMIN,
-            rtile(refl_tmax), strips=1, packets=16,
-            compact=True, packet_phases=((40, 3), (96, 16)),
-        )
-        rec = traverse.HitRecord(
-            t=runtile(rc.t), tri=runtile(rc.tri), u=runtile(rc.u),
-            v=runtile(rc.v),
-        )
     else:
-        rec = traverse.trace(
-            bvh, tri_verts, origin, r_dir, SHADOW_TMIN, refl_tmax, strips=32
-        )
-    if trace_refl:
+        rec = traverse.HitRecord(t=rt_t, tri=rt_tri, u=rt_u, v=rt_v)
         shaded = rt_shade.reflection_hit_shade(
             scene, tables, tri_rows, pfd, rec.tri, rec.u, rec.v
         )

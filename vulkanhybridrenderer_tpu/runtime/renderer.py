@@ -51,6 +51,20 @@ class Renderer:
         self.config = config or RenderConfig()
         self.path_name = path
         self.mesh = mesh
+        # config validation (the reference validates pipeline state at build
+        # time, pipeline.cpp): coverage MSAA's shared-binning raster is
+        # single-device by design — fail here with the supported alternative
+        # instead of deep inside a sharded trace.
+        if (
+            mesh is not None
+            and path == "forward"
+            and self.config.forward.msaa_samples > 1
+            and self.config.forward.msaa_mode == "coverage"
+        ):
+            raise ValueError(
+                "forward msaa_mode='coverage' is single-device; use "
+                "msaa_mode='supersample' on a mesh"
+            )
         self.stats = PassStats()
         self.frame_index = 0
         self._prev_view: np.ndarray | None = None
