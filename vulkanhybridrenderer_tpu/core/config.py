@@ -56,6 +56,11 @@ class HybridSettings:
     denoise: bool = False
     ssao: SSAOSettings = dataclasses.field(default_factory=SSAOSettings)
     ssr: SSRSettings = dataclasses.field(default_factory=SSRSettings)
+    # Trace RT shadows/AO/reflections on a 1/rt_scale-resolution G-buffer
+    # (1/rt_scale^2 the rays) and joint-bilaterally upsample the results
+    # (ops/upsample.py).  1 = full-res reference parity; 2 = the standard
+    # real-time half-res recipe.  Perf knob only — pass semantics unchanged.
+    rt_scale: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -105,6 +105,48 @@ class HybridPath(RenderPath):
             comp_inputs.append("Shadow Map")
             comp_kwargs_resources["shadow_map"] = "Shadow Map"
 
+        # half-res RT (rt_scale > 1): trace on a downsampled G-buffer, then
+        # joint-bilaterally upsample the (denoised) results before composition
+        # (ops/upsample.py).  SVGF runs at trace resolution — denoising before
+        # upsampling is the standard ordering (variance is a trace-domain
+        # quantity) and makes the a-trous cost drop with the ray count.
+        rs = max(1, int(getattr(s, "rt_scale", 1)))
+        rt_half = rt_needed and rs > 1
+        if rt_half:
+            from vulkanhybridrenderer_tpu.ops import upsample as upsample_ops
+
+            def rt_down_pass(res):
+                return {
+                    "RT Depth": upsample_ops.downsample_nearest(
+                        res["Depth"], rs
+                    ),
+                    "RT Normals": upsample_ops.downsample_nearest(
+                        res["World Space Normals and Object IDs"], rs
+                    ),
+                    "RT Motion": upsample_ops.downsample_nearest(
+                        res["Motion Vectors and Metallic Roughness"], rs
+                    ),
+                }
+
+            graph.add_pass(
+                "RT Downsample Pass",
+                rt_down_pass,
+                inputs=(
+                    "Depth",
+                    "World Space Normals and Object IDs",
+                    "Motion Vectors and Metallic Roughness",
+                ),
+                outputs=("RT Depth", "RT Normals", "RT Motion"),
+            )
+        rt_depth_res = "RT Depth" if rt_half else "Depth"
+        rt_normal_res = (
+            "RT Normals" if rt_half else "World Space Normals and Object IDs"
+        )
+        rt_motion_res = (
+            "RT Motion" if rt_half
+            else "Motion Vectors and Metallic Roughness"
+        )
+
         if rt_needed:
             use_grid = (
                 cfg.shadow_accel == "grid"
@@ -127,8 +169,8 @@ class HybridPath(RenderPath):
                 "TriRows",
                 "pfd",
                 "WorldTris",
-                "Depth",
-                "World Space Normals and Object IDs",
+                rt_depth_res,
+                rt_normal_res,
             ]
             if bvh_needed:
                 rt_inputs.append("BVH")
@@ -169,8 +211,8 @@ class HybridPath(RenderPath):
                     res.get("BVH"),
                     res["WorldTris"],
                     res["pfd"],
-                    res["Depth"],
-                    res["World Space Normals and Object IDs"],
+                    res[rt_depth_res],
+                    res[rt_normal_res],
                     ao_rays=cfg.ao_rays,
                     settings=s,
                     shadow_grid=res.get("ShadowGrid"),
@@ -190,9 +232,8 @@ class HybridPath(RenderPath):
                     "Raytraced Reflections",
                 ),
             )
-            if s.reflection_mode == ReflectionMode.RAYTRACED:
-                comp_inputs.append("Raytraced Reflections")
-                comp_kwargs_resources["rt_reflections"] = "Raytraced Reflections"
+            # (composition wiring for RT reflections happens after the
+            # optional RT Upsample Pass below, which may rename the resource)
 
         if s.ao_mode == AmbientOcclusionMode.SSAO:
             def ssao_pass(res):
@@ -256,11 +297,12 @@ class HybridPath(RenderPath):
             comp_kwargs_resources["ssr_tex"] = "Screen Space Reflections"
 
         rt_shadow_ao_resource = "Raytraced Shadows and Ambient Occlusion"
+        rt_refl_resource = "Raytraced Reflections"
         if denoise:
             def svgf_pass(res):
                 denoised, new_state = svgf.denoise(
-                    res["World Space Normals and Object IDs"],
-                    res["Motion Vectors and Metallic Roughness"],
+                    res[rt_normal_res],
+                    res[rt_motion_res],
                     res["Raytraced Shadows and Ambient Occlusion"],
                     res["temporal_state"],
                 )
@@ -273,8 +315,8 @@ class HybridPath(RenderPath):
                 "SVGF Denoise Pass",
                 svgf_pass,
                 inputs=(
-                    "World Space Normals and Object IDs",
-                    "Motion Vectors and Metallic Roughness",
+                    rt_normal_res,
+                    rt_motion_res,
                     "Raytraced Shadows and Ambient Occlusion",
                     "temporal_state",
                 ),
@@ -285,9 +327,51 @@ class HybridPath(RenderPath):
             )
             rt_shadow_ao_resource = "Denoised Raytraced Shadows and Ambient Occlusion"
 
+        if rt_half:
+            up_src = rt_shadow_ao_resource  # bind NOW (renamed just below)
+
+            def rt_up_pass(res):
+                up = lambda lo: upsample_ops.joint_bilateral_upsample(
+                    lo, rs, res["Depth"],
+                    res["World Space Normals and Object IDs"],
+                    res["RT Depth"], res["RT Normals"],
+                )
+                out = {
+                    "Upsampled Raytraced Shadows and Ambient Occlusion": up(
+                        res[up_src]
+                    )
+                }
+                if s.reflection_mode == ReflectionMode.RAYTRACED:
+                    out["Upsampled Raytraced Reflections"] = up(
+                        res["Raytraced Reflections"]
+                    )
+                return out
+
+            up_outputs = ["Upsampled Raytraced Shadows and Ambient Occlusion"]
+            up_inputs = [
+                rt_shadow_ao_resource, "Depth",
+                "World Space Normals and Object IDs", "RT Depth", "RT Normals",
+            ]
+            if s.reflection_mode == ReflectionMode.RAYTRACED:
+                up_outputs.append("Upsampled Raytraced Reflections")
+                up_inputs.append("Raytraced Reflections")
+            graph.add_pass(
+                "RT Upsample Pass",
+                rt_up_pass,
+                inputs=tuple(up_inputs),
+                outputs=tuple(up_outputs),
+            )
+            rt_shadow_ao_resource = (
+                "Upsampled Raytraced Shadows and Ambient Occlusion"
+            )
+            rt_refl_resource = "Upsampled Raytraced Reflections"
+
         if rt_needed:
             comp_inputs.append(rt_shadow_ao_resource)
             comp_kwargs_resources["rt_shadow_ao"] = rt_shadow_ao_resource
+            if s.reflection_mode == ReflectionMode.RAYTRACED:
+                comp_inputs.append(rt_refl_resource)
+                comp_kwargs_resources["rt_reflections"] = rt_refl_resource
 
         def composition_pass(res):
             gb = GBuffer(

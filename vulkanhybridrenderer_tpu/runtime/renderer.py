@@ -71,7 +71,7 @@ class Renderer:
         self._prev_proj: np.ndarray | None = None
         self._frame_fns: dict[Any, Any] = {}
         self._graphs: dict[Any, Any] = {}
-        self.temporal_state = make_temporal_state(self.config.height, self.config.width)
+        self.temporal_state = make_temporal_state(*self._temporal_dims())
         self.prim_transform = scene.buffers.prim_transform
         self._bvh = None
         self._shade_tables = None
@@ -83,9 +83,16 @@ class Renderer:
         self.path_name = name
 
     def set_config(self, config: RenderConfig):
-        if (config.width, config.height) != (self.config.width, self.config.height):
-            self.temporal_state = make_temporal_state(config.height, config.width)
+        old_dims = self._temporal_dims()
         self.config = config
+        if self._temporal_dims() != old_dims:
+            self.temporal_state = make_temporal_state(*self._temporal_dims())
+
+    def _temporal_dims(self):
+        """SVGF temporal state lives at TRACE resolution: full res normally,
+        1/rt_scale when the hybrid path traces half-res (ops/upsample.py)."""
+        rs = max(1, int(getattr(self.config.hybrid, "rt_scale", 1)))
+        return -(-self.config.height // rs), -(-self.config.width // rs)
 
     def _key(self):
         return (self.path_name, self.config)
