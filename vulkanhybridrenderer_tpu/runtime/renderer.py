@@ -47,6 +47,11 @@ class Renderer:
                  path: str = "hybrid", mesh=None):
         """mesh: optional jax.sharding.Mesh -- shards the frame's pixel rows across
         devices (parallel/mesh.py); None = single device like the reference."""
+        from vulkanhybridrenderer_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache()
         self.scene = scene
         self.config = config or RenderConfig()
         self.path_name = path
