@@ -65,6 +65,30 @@ def test_sharded_frame_matches_single_device():
     np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
 
 
+def test_sharded_halfres_matches_single_device():
+    """rt_scale=2 under a row mesh: the half-res trace + SVGF + upsample
+    passes must compose with GSPMD sharding and match single-device."""
+    from vulkanhybridrenderer_tpu.core.config import ReflectionMode
+
+    devs = _cpu_devices(8)
+    with jax.default_device(devs[0]):
+        sc = procedural.cornell_box()
+        cfg = RenderConfig(
+            width=96, height=64, shadow_map_size=128,
+            hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED,
+                                  ao_mode=AmbientOcclusionMode.RAYTRACED,
+                                  reflection_mode=ReflectionMode.RAYTRACED,
+                                  denoise=True, rt_scale=2),
+        )
+        img_single = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
+        mesh = make_mesh(devs)
+        img_mesh = np.asarray(
+            Renderer(sc, cfg, path="hybrid", mesh=mesh).render_frame()
+        )
+    assert np.isfinite(img_single).all()
+    np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
+
+
 def test_odd_resolution_uses_packet_schedules():
     """padded_block_tiler removes every divisibility fallback: an odd slab
     (e.g. 84x52 — neither 8x16 nor 4x4 tiles divide 52 rows x 84 cols) must
