@@ -44,5 +44,27 @@ def test_viewer_endpoints():
         r = urllib.request.urlopen(base + "/frame?keys=&dx=0&dy=0&drag=0")
         assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
         assert state.renderer.path_name == "hybrid"
+
+        # parameter sliders (reference hybrid_render_path.cpp:423-432 ImGui
+        # sliders + the rt_scale knob): values land in the static config and
+        # are reported back for UI sync
+        urllib.request.urlopen(base + "/set?param=ssao_radius&value=1.5").read()
+        urllib.request.urlopen(
+            base + "/set?param=ssr_bsearch_steps&value=9"
+        ).read()
+        urllib.request.urlopen(base + "/set?param=rt_scale&value=2").read()
+        s = state.renderer.config.hybrid
+        assert s.ssao.radius == 1.5
+        assert s.ssr.bsearch_steps == 9
+        assert s.rt_scale == 2
+        meta = json.loads(
+            urllib.request.urlopen(base + "/toggle?k=denoise").read()
+        )
+        assert meta["params"]["ssao_radius"] == 1.5
+        assert meta["params"]["rt_scale"] == 2
+        # a frame still renders under the new static config (deferred rebuild)
+        urllib.request.urlopen(base + "/set?resource=").read()
+        r = urllib.request.urlopen(base + "/frame?keys=&dx=0&dy=0&drag=0")
+        assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         httpd.shutdown()

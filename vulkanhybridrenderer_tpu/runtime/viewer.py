@@ -43,6 +43,20 @@ select,button { background:#22262c; color:#d8dce2; border:1px solid #444;
  <button id="refl">refl: ?</button>
  <button id="denoise">denoise: ?</button>
 </div>
+<div class="row" id="params">
+ <label>ssao.radius <input type="range" id="ssao_radius" min="0.1" max="5"
+   step="0.05"><span></span></label>
+ <label>ssr.ray_distance <input type="range" id="ssr_ray_distance" min="0.1"
+   max="40" step="0.1"><span></span></label>
+ <label>ssr.step_size <input type="range" id="ssr_step_size" min="0.01"
+   max="5" step="0.01"><span></span></label>
+ <label>ssr.thickness <input type="range" id="ssr_thickness" min="0" max="3"
+   step="0.05"><span></span></label>
+ <label>ssr.bsearch_steps <input type="range" id="ssr_bsearch_steps" min="1"
+   max="100" step="1"><span></span></label>
+ <label>rt_scale <input type="range" id="rt_scale" min="1" max="4"
+   step="1"><span></span></label>
+</div>
 <img id="frame" tabindex="0" width="WIDTH" height="HEIGHT">
 <div id="hud">connecting…</div>
 <script>
@@ -61,6 +75,17 @@ window.addEventListener('mousemove', e => {
 for (const id of ['shadow','ao','refl','denoise'])
   document.getElementById(id).onclick = () =>
     fetch('/toggle?k=' + id).then(r => r.json()).then(updateButtons);
+const PARAMS = ['ssao_radius','ssr_ray_distance','ssr_step_size',
+                'ssr_thickness','ssr_bsearch_steps','rt_scale'];
+for (const id of PARAMS) {
+  const el = document.getElementById(id);
+  el.addEventListener('input', () =>
+    el.nextElementSibling.textContent = el.value);
+  // 'change' (release), not 'input': each value is a new static config
+  // -> deferred rebuild, like the reference's pipeline-rebuild-on-release
+  el.addEventListener('change', () =>
+    fetch('/set?param=' + id + '&value=' + el.value));
+}
 document.getElementById('path').onchange = e =>
   fetch('/set?path=' + e.target.value);
 document.getElementById('resource').onchange = e =>
@@ -68,6 +93,14 @@ document.getElementById('resource').onchange = e =>
 function updateButtons(s) {
   for (const id of ['shadow','ao','refl','denoise'])
     document.getElementById(id).textContent = id + ': ' + s[id];
+  if (s.params)
+    for (const id of PARAMS) {
+      const el = document.getElementById(id);
+      if (document.activeElement !== el && s.params[id] !== undefined) {
+        el.value = s.params[id];
+        el.nextElementSibling.textContent = s.params[id];
+      }
+    }
   const sel = document.getElementById('resource');
   if (sel.options.length <= 1 && s.resources)
     for (const r of s.resources) {
@@ -138,6 +171,33 @@ class ViewerState:
             self.renderer.set_config(dataclasses.replace(cfg, hybrid=s))
         return self.state()
 
+    def set_param(self, name, value):
+        """Live numeric settings — the reference's per-path ImGui sliders
+        (hybrid_render_path.cpp:423-432) plus the TPU-native rt_scale knob.
+        Every value is part of the static config, so a change is a deferred
+        rebuild (re-jit between frames), like the slider-driven push-constant
+        pipelines rebuilding on release."""
+        import dataclasses
+
+        with self.lock:
+            cfg = self.renderer.config
+            s = cfg.hybrid
+            if name == "ssao_radius":
+                s = dataclasses.replace(
+                    s, ssao=dataclasses.replace(s.ssao, radius=float(value))
+                )
+            elif name.startswith("ssr_"):
+                field = name[4:]
+                cast = int if field == "bsearch_steps" else float
+                s = dataclasses.replace(
+                    s, ssr=dataclasses.replace(s.ssr, **{field: cast(value)})
+                )
+            elif name == "rt_scale":
+                s = dataclasses.replace(s, rt_scale=max(1, int(float(value))))
+            else:
+                raise KeyError(name)
+            self.renderer.set_config(dataclasses.replace(cfg, hybrid=s))
+
     def state(self):
         s = self.renderer.config.hybrid
         out = {
@@ -145,6 +205,14 @@ class ViewerState:
             "ao": s.ao_mode.name.lower(),
             "refl": s.reflection_mode.name.lower(),
             "denoise": "on" if s.denoise else "off",
+            "params": {
+                "ssao_radius": s.ssao.radius,
+                "ssr_ray_distance": s.ssr.ray_distance,
+                "ssr_step_size": s.ssr.step_size,
+                "ssr_thickness": s.ssr.thickness,
+                "ssr_bsearch_steps": s.ssr.bsearch_steps,
+                "rt_scale": s.rt_scale,
+            },
         }
         try:
             out["resources"] = self.renderer.list_resources()
@@ -215,6 +283,8 @@ def make_handler(state: ViewerState, width: int, height: int):
                     state.set_path(q["path"])
                 if "resource" in q:
                     state.resource = q["resource"]
+                if "param" in q:
+                    state.set_param(q["param"], q.get("value", "0"))
                 self._send(200, b"{}", "application/json")
             else:
                 self._send(404, b"not found")
