@@ -62,6 +62,18 @@ def test_viewer_endpoints():
         )
         assert meta["params"]["ssao_radius"] == 1.5
         assert meta["params"]["rt_scale"] == 2
+
+        # per-path toggles from the other paths' ImGui panels: forward MSAA
+        # (forward_raster_render_path.cpp:100-106) and raytraced alpha test
+        # (raytraced_render_path.cpp:80-86)
+        s2 = json.loads(urllib.request.urlopen(base + "/toggle?k=msaa").read())
+        assert s2["msaa"] == "4x"
+        assert state.renderer.config.forward.msaa_samples == 4
+        s2 = json.loads(
+            urllib.request.urlopen(base + "/toggle?k=test_alpha").read()
+        )
+        assert s2["test_alpha"] == "on"
+        assert state.renderer.config.raytraced.test_alpha
         # a frame still renders under the new static config (deferred rebuild)
         urllib.request.urlopen(base + "/set?resource=").read()
         r = urllib.request.urlopen(base + "/frame?keys=&dx=0&dy=0&drag=0")

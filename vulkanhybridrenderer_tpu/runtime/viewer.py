@@ -42,6 +42,8 @@ select,button { background:#22262c; color:#d8dce2; border:1px solid #444;
  <button id="ao">ao: ?</button>
  <button id="refl">refl: ?</button>
  <button id="denoise">denoise: ?</button>
+ <button id="msaa">msaa: ?</button>
+ <button id="test_alpha">test_alpha: ?</button>
 </div>
 <div class="row" id="params">
  <label>ssao.radius <input type="range" id="ssao_radius" min="0.1" max="5"
@@ -72,7 +74,7 @@ window.addEventListener('mousemove', e => {
   if (dragging) { dx += e.clientX - lastX; dy += e.clientY - lastY;
                   lastX = e.clientX; lastY = e.clientY; }
 });
-for (const id of ['shadow','ao','refl','denoise'])
+for (const id of ['shadow','ao','refl','denoise','msaa','test_alpha'])
   document.getElementById(id).onclick = () =>
     fetch('/toggle?k=' + id).then(r => r.json()).then(updateButtons);
 const PARAMS = ['ssao_radius','ssr_ray_distance','ssr_step_size',
@@ -91,7 +93,7 @@ document.getElementById('path').onchange = e =>
 document.getElementById('resource').onchange = e =>
   fetch('/set?resource=' + encodeURIComponent(e.target.value));
 function updateButtons(s) {
-  for (const id of ['shadow','ao','refl','denoise'])
+  for (const id of ['shadow','ao','refl','denoise','msaa','test_alpha'])
     document.getElementById(id).textContent = id + ': ' + s[id];
   if (s.params)
     for (const id of PARAMS) {
@@ -168,6 +170,27 @@ class ViewerState:
                 s = dataclasses.replace(s, reflection_mode=nxt)
             elif key == "denoise":
                 s = dataclasses.replace(s, denoise=not s.denoise)
+            elif key == "msaa":
+                # forward path MSAA enable/disable
+                # (forward_raster_render_path.cpp:100-106)
+                fw = dataclasses.replace(
+                    cfg.forward,
+                    msaa_samples=4 if cfg.forward.msaa_samples == 1 else 1,
+                )
+                self.renderer.set_config(
+                    dataclasses.replace(cfg, forward=fw)
+                )
+                return self.state()
+            elif key == "test_alpha":
+                # raytraced path shadow alpha test
+                # (raytraced_render_path.cpp:80-86)
+                rt = dataclasses.replace(
+                    cfg.raytraced, test_alpha=not cfg.raytraced.test_alpha
+                )
+                self.renderer.set_config(
+                    dataclasses.replace(cfg, raytraced=rt)
+                )
+                return self.state()
             self.renderer.set_config(dataclasses.replace(cfg, hybrid=s))
         return self.state()
 
@@ -205,6 +228,10 @@ class ViewerState:
             "ao": s.ao_mode.name.lower(),
             "refl": s.reflection_mode.name.lower(),
             "denoise": "on" if s.denoise else "off",
+            "msaa": f"{self.renderer.config.forward.msaa_samples}x",
+            "test_alpha": (
+                "on" if self.renderer.config.raytraced.test_alpha else "off"
+            ),
             "params": {
                 "ssao_radius": s.ssao.radius,
                 "ssr_ray_distance": s.ssr.ray_distance,
