@@ -20,10 +20,46 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
+def _ensure_live_backend() -> str:
+    """The tunneled TPU relay can be down for hours (rounds 3/4); a plain
+    `import jax` then hangs until the driver's timeout and the round records
+    NO number at all.  Probe the default platform in a SUBPROCESS (the hang
+    is inside native dial code — unkillable in-process) and, if it is dead,
+    re-exec this benchmark as a true CPU process (PALLAS_AXON_POOL_IPS
+    stripped so the axon plugin never registers).  A clearly-labeled CPU
+    number beats an empty BENCH artifact.  Returns the platform tag."""
+    import subprocess
+
+    if os.environ.get("BENCH_CPU_FALLBACK"):
+        return "cpu-fallback(tunnel down)"
+    if "PALLAS_AXON_POOL_IPS" not in os.environ:
+        return "cpu"  # already a CPU-only environment
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            timeout=int(os.environ.get("BENCH_PROBE_TIMEOUT", 300)),
+            capture_output=True, env=os.environ.copy(),
+        )
+        if proc.returncode == 0:
+            return "tpu"
+    except subprocess.TimeoutExpired:
+        pass
+    env = os.environ.copy()
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"
+    # CPU frames are ~20x slower: keep the run inside the driver's timeout
+    env.setdefault("BENCH_FRAMES", "6")
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+    raise RuntimeError("unreachable")
+
+
 def main() -> None:
+    platform = _ensure_live_backend()
     import jax
     import numpy as np
 
@@ -124,7 +160,8 @@ def main() -> None:
                 "metric": f"ms/frame hybrid[{mode}"
                 + (f",rt_scale={rt_scale}" if rt_scale != 1 else "")
                 + f"] {scene.name} {width}x{height} "
-                f"({scene.buffers.num_triangles} tris)",
+                f"({scene.buffers.num_triangles} tris)"
+                + (f" [{platform}]" if platform != "tpu" else ""),
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(target_ms / ms, 4),
