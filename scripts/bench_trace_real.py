@@ -147,12 +147,12 @@ def main():
              (origin, shadow_dir, shadow_tmax, True, 128, 5, 15, 8, 16)),
             ("subpkt K8 2x4 b4x8", one,
              (origin, shadow_dir, shadow_tmax, True, 8, 4, 8, 2, 4)),
-            ("subpkt K16 4x4 b4x8", one,
-             (origin, shadow_dir, shadow_tmax, True, 16, 4, 8, 4, 4)),
+            ("subpkt K16 4x4 b5x8", one,
+             (origin, shadow_dir, shadow_tmax, True, 16, 5, 8, 4, 4)),
             ("subpkt K16 4x4 b6x16", one,
              (origin, shadow_dir, shadow_tmax, True, 16, 6, 16, 4, 4)),
-            ("subpkt K32 4x8 b4x8", one,
-             (origin, shadow_dir, shadow_tmax, True, 32, 4, 8, 4, 8)),
+            ("subpkt K32 4x8 b5x8", one,
+             (origin, shadow_dir, shadow_tmax, True, 32, 5, 8, 4, 8)),
         ])
 
     if "ao" in which:
@@ -178,8 +178,8 @@ def main():
              (origin, ao_dirs, ao_tmax, True, 8, 4, 8, 2, 4, None, None, 2)),
             ("subpkt K8 2x4 b6x16", one,
              (origin, ao_dirs, ao_tmax, True, 8, 6, 16, 2, 4, None, None, 2)),
-            ("subpkt K16 4x4 b4x8", one,
-             (origin, ao_dirs, ao_tmax, True, 16, 4, 8, 4, 4, None, None, 2)),
+            ("subpkt K16 4x4 b5x8", one,
+             (origin, ao_dirs, ao_tmax, True, 16, 5, 8, 4, 4, None, None, 2)),
             ("subpkt K8 ph s2 (40,4)(40,16)", one,
              (origin, ao_dirs, ao_tmax, True, 8, 4, 8, 2, 4, 2,
               ((40, 4), (40, 16)), 2)),
@@ -200,14 +200,14 @@ def main():
             ("prod packets=128 phased", prod_refl, ()),
             ("subpkt K8 2x4 b4x8", one,
              (origin, r_dir, refl_tmax, False, 8, 4, 8, 2, 4)),
-            ("subpkt K16 4x4 b4x8", one,
-             (origin, r_dir, refl_tmax, False, 16, 4, 8, 4, 4)),
+            ("subpkt K16 4x4 b5x8", one,
+             (origin, r_dir, refl_tmax, False, 16, 5, 8, 4, 4)),
             ("subpkt K16 4x4 b6x16", one,
              (origin, r_dir, refl_tmax, False, 16, 6, 16, 4, 4)),
-            ("subpkt K32 4x8 b4x8", one,
-             (origin, r_dir, refl_tmax, False, 32, 4, 8, 4, 8)),
+            ("subpkt K32 4x8 b5x8", one,
+             (origin, r_dir, refl_tmax, False, 32, 5, 8, 4, 8)),
             ("subpkt K16 ph s1 (64,4)(96,16)", one,
-             (origin, r_dir, refl_tmax, False, 16, 4, 8, 4, 4, 1,
+             (origin, r_dir, refl_tmax, False, 16, 5, 8, 4, 4, 1,
               ((64, 4), (96, 16)))),
         ])
 

@@ -47,8 +47,8 @@ def test_sharded_frame_matches_single_device():
         img_single = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
         single_scheds = dict(raygen.LAST_SCHEDULES)
         assert single_scheds["shadow"].startswith("packet128")
-        assert single_scheds["ao"].startswith("subpacket4")
-        assert single_scheds["refl"].startswith("subpacket16")
+        assert single_scheds["ao"].startswith("perray")
+        assert single_scheds["refl"].startswith("packet128/phased")
         assert "sharded_rows" not in single_scheds
 
         mesh = make_mesh(devs)
@@ -59,8 +59,8 @@ def test_sharded_frame_matches_single_device():
         assert mesh_scheds["sharded_rows"] == 64 // 8
         # each 8-row shard still compiles the production packet schedules
         assert mesh_scheds["shadow"].startswith("packet128")
-        assert mesh_scheds["ao"].startswith("subpacket4")
-        assert mesh_scheds["refl"].startswith("subpacket16")
+        assert mesh_scheds["ao"].startswith("perray")
+        assert mesh_scheds["refl"].startswith("packet128/phased")
     # sharding must not change the result (pure data-parallel + XLA halo exchange)
     np.testing.assert_allclose(img_mesh, img_single, atol=2e-5)
 
@@ -106,8 +106,8 @@ def test_odd_resolution_uses_packet_schedules():
     img = np.asarray(Renderer(sc, cfg, path="hybrid").render_frame())
     assert np.isfinite(img).all()
     assert raygen.LAST_SCHEDULES["shadow"].startswith("packet128")
-    assert raygen.LAST_SCHEDULES["ao"].startswith("subpacket4")
-    assert raygen.LAST_SCHEDULES["refl"].startswith("subpacket16")
+    assert raygen.LAST_SCHEDULES["ao"].startswith("perray")
+    assert raygen.LAST_SCHEDULES["refl"].startswith("packet128/phased")
 
 
 def test_coverage_msaa_mesh_config_validation():

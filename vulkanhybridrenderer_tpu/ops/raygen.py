@@ -319,15 +319,19 @@ def hybrid_raytrace(
             shadow_hit = untile(rec.hit.astype(jnp.float32))
             LAST_SCHEDULES["shadow"] = f"packet128/blocks{nby}x{nbx}"
         if trace_ao:
-            # K=4 SUB-packets of one 2x2-pixel tile each: AO hemisphere draws
-            # are incoherent, so big packets degrade to the union of
-            # everything (K=128 measured 1141 ms), but 4 rays from one 2x2
-            # tile share enough upper-tree walk to win: R/4 row gathers at
-            # union walks only ~2.1x the per-ray mean (sim_packet_union:
-            # U(4)=25.5 vs U(1)=12.0).  Strips are screen blocks (one per
-            # block per draw): walk lengths are spatially correlated, each
-            # strip pays its own short max.
-            blk, unblk, nby, nbx = padded_block_tiler(h_l, w, 2, 2)
+            # PER-RAY walks over block-major strips.  AO hemisphere draws are
+            # incoherent, and on hardware every (sub-)packet size loses: the
+            # lockstep strip pays M_subpackets x max-walk GATHERS per strip,
+            # so round-3's sim-picked K=4 sub-packets measured 2.5-2.7 s vs
+            # per-ray's 504.8 ms on the real 1080p wavefront (K8 1.36-1.44 s,
+            # K16 807 ms — monotone in K toward packet128's 1141 ms; round-4
+            # sweep, scripts/bench_trace_real.py).  Per-ray minimizes steps
+            # (U(1)=12.0 mean) and block strips keep each strip's max walk
+            # near its local p99 (block135x240 s128 beats plain s64 ~12%,
+            # scripts/bench_ao_real.py).
+            blk, unblk, nby, nbx = padded_block_tiler(
+                h_l, w, 1, 1, max_blocks=8
+            )
             rec = traverse.trace(
                 bvh_a,
                 tv_a,
@@ -337,33 +341,31 @@ def hybrid_raytrace(
                 jnp.concatenate([blk(atmax_l, fill=-1.0)] * ao_rays),
                 anyhit=True,
                 strips=ao_rays * nby * nbx,
-                packets=4,
             )
             miss = jnp.where(rec.hit, 0.0, 1.0).reshape(ao_rays, -1)
             ao_l = unblk(jnp.sum(miss, axis=0) / ao_rays)
-            LAST_SCHEDULES["ao"] = f"subpacket4/blocks{nby}x{nbx}"
+            LAST_SCHEDULES["ao"] = f"perray/blocks{nby}x{nbx}"
         if trace_refl:
             # mirror rays off mostly-smooth G-buffer normals are tile-
-            # coherent, but their closest-hit walks are LONG with a heavy
-            # tail (sim_packet_union K=16: p50 22 / p99 68 / p99.9 95) that
-            # dominates the lockstep loop — K=16 sub-packets (4x4-pixel
-            # tiles) with staged compaction: R/16 gathers per step at near-
-            # per-ray walk lengths, and the nonzero/gather/scatter compaction
-            # machinery is cheap at M = R/16 sub-packet width.  Phase 1 (40
-            # steps ~ p90) retires ~90% of sub-packets (cap 1/3: big scenes
-            # walk longer — BistroProxy p90 = 53 steps vs Sponza's 38 — and
-            # overflow means a full-width re-trace, so the wider cap costs
-            # little); <1% survive phase 2 (cap 1/16).
-            rtile, runtile, nby, nbx = padded_block_tiler(h_l, w, 4, 4)
+            # coherent, so K=128 packets over 8x16 tiles win (fewest gathers
+            # per step); their closest-hit walks are LONG with a heavy tail
+            # (p99.9/p50 = 4.3), so staged PACKET compaction trims the
+            # surviving tail: phase 1 (48 steps ~ p90, cap 1/4) retires ~90%
+            # of packets; <1% survive phase 2 (cap 1/16).  Measured 186.6 ms
+            # on the real wavefront vs sub-packet K16 901 / K32 650 (round-4
+            # sweep — sub-packets lose for the same per-strip gather-volume
+            # reason as AO).  Overflow of either cap triggers the exact
+            # full-width fallback (correctness is never at risk).
+            rtile, runtile, nby, nbx = padded_block_tiler(h_l, w, *PACKET_TILE)
             rc = traverse.trace(
                 bvh_a, tv_a, rtile(origin_l), rtile(rdir_l), SHADOW_TMIN,
-                rtile(rtmax_l, fill=-1.0), strips=1, packets=16,
-                compact=True, packet_phases=((40, 3), (96, 16)),
+                rtile(rtmax_l, fill=-1.0), strips=1, packets=128,
+                compact=True, packet_phases=((48, 4), (96, 16)),
             )
             refl_tuv = (
                 runtile(rc.t), runtile(rc.tri), runtile(rc.u), runtile(rc.v)
             )
-            LAST_SCHEDULES["refl"] = "subpacket16/phased(40,3)(96,16)"
+            LAST_SCHEDULES["refl"] = "packet128/phased(48,4)(96,16)"
         return (shadow_hit, ao_l) + refl_tuv
 
     n_dev = mesh.devices.size if mesh is not None else 1
