@@ -327,10 +327,16 @@ def hybrid_raytrace(
             # K16 807 ms — monotone in K toward packet128's 1141 ms; round-4
             # sweep, scripts/bench_trace_real.py).  Per-ray minimizes steps
             # (U(1)=12.0 mean) and block strips keep each strip's max walk
-            # near its local p99 (block135x240 s128 beats plain s64 ~12%,
-            # scripts/bench_ao_real.py).
+            # near its local p99; the block-granularity sweep
+            # (scripts/bench_ao_r4.py) is 15x15 > 8x8 > 4x4 on 1080p
+            # (402 / 480 / 662 ms): finer strips pay closer-to-local max
+            # walks until per-strip dispatch overhead wins (b20+ flat/worse,
+            # and rt_scale=2's quarter wavefront measured 614 -> 836 ms when
+            # its strips shrank to 2.3k rays) — so scale the block grid to
+            # keep strips >= ~8k rays.
+            mb = max(1, min(15, int((h_l * w / 8192) ** 0.5)))
             blk, unblk, nby, nbx = padded_block_tiler(
-                h_l, w, 1, 1, max_blocks=8
+                h_l, w, 1, 1, max_blocks=mb
             )
             rec = traverse.trace(
                 bvh_a,
