@@ -38,3 +38,15 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_compilation_cache_dir", path)
     # default threshold is 1 s: everything that hurts (frame fns, traces)
     # is far above it, tiny test kernels stay out of the cache
+
+    # The cache key strips MLIR debug locations (strip-debuginfo) BUT cannot
+    # reach inside the serialized Mosaic module a pallas_call embeds in its
+    # tpu_custom_call backend_config — and that payload records the FULL user
+    # traceback of the jit call site.  Any frame fn containing a Pallas
+    # kernel (the tiled rasterizer) therefore got a different cache key per
+    # calling script: bench.py, harvest scripts and the viewer each paid a
+    # full recompile of byte-identical programs.  Limiting locations to the
+    # primitive frame (inside this package, fixed lines) makes the payload —
+    # and the key — call-site independent; verified by lowering the same
+    # kernel from two drivers differing only in line numbers.
+    jax.config.update("jax_include_full_tracebacks_in_locations", False)
