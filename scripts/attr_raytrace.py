@@ -48,7 +48,8 @@ def main():
     from vulkanhybridrenderer_tpu.scene import procedural
 
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    h, w = 1080, 1920
+    import os
+    h = int(os.environ.get("H", 1080)); w = int(os.environ.get("W", 1920))
     cfg = RenderConfig(width=w, height=h, alpha_raster="off",
                        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
     r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")
@@ -58,7 +59,7 @@ def main():
     )
     sync(depth)
     scene = r.scene.buffers
-    tables = build_shade_tables(r.scene)
+    tables = build_shade_tables(scene)
     bvh = r._get_bvh()
     world = geometry.to_world(scene, None)
     tris = bvh_ops.world_triangles(world.position, scene.tri_vertex)
@@ -80,9 +81,9 @@ def main():
         hs = HybridSettings(
             shadow_mode=ShadowMode.RAYTRACED if s else ShadowMode.RASTERIZED,
             ao_mode=(AmbientOcclusionMode.RAYTRACED if a
-                     else AmbientOcclusionMode.NONE),
+                     else AmbientOcclusionMode.OFF),
             reflection_mode=(ReflectionMode.RAYTRACED if rf
-                             else ReflectionMode.NONE),
+                             else ReflectionMode.OFF),
             denoise=True, rt_scale=scale,
         )
 
