@@ -130,6 +130,14 @@ class RenderConfig:
     #: same hit/miss answers, wins when triangles are tiny relative to the
     #: light footprint (dense foliage/terrain)
     shadow_accel: str = "bvh8"
+    #: triangles per BVH8 leaf row (8 or 12; the 128-float row fits 12).
+    #: Fatter leaves cut the row count 25% but MEASURED SLOWER on the v5e
+    #: (scripts/bench_leafmax.py, Sponza 1080p wavefronts: shadow 63.5 ->
+    #: 92.3 ms, AO 402 -> 407): the walk barely shortens (depth 9 both)
+    #: while every leaf step pays 1.5x the masked Moller-Trumbore VPU work.
+    #: Kept as a knob for scenes where the 25% smaller gather table crosses
+    #: the VMEM-residency cliff (docs/PERF_STATUS.md rule 2).
+    bvh_leaf_max: int = 8
     # NOTE: no shadow-ray-count knob: the reference's raygen.rgen:39-41 loop
     # re-traces the SAME direction/payload 4x, which is semantically one
     # any-hit trace (ops/raygen.py traces once, bit-equal result).

@@ -182,7 +182,9 @@ class Renderer:
                 binary = native_bridge.build_sah_host(np.asarray(tris))
             else:
                 binary = bvh_ops.build(tris, leaf_size=1)
-            self._bvh = bvh8_ops.build_bvh8_host(binary, tris)
+            self._bvh = bvh8_ops.build_bvh8_host(
+                binary, tris, leaf_max=self.config.bvh_leaf_max
+            )
         return self._bvh
 
     def _get_shade_tables(self):
