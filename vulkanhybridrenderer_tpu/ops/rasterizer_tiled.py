@@ -159,22 +159,49 @@ def bin_triangles(
     # start, cummax back to fill the segments: every array here is e_cap-wide
     # (~sum(span)), not dense T x span_cap.  (Scatter-max, not add: several
     # triangles can share a start position when zero-span ones sit between.)
+    #
+    # Gather discipline (measured, scripts/attr_gbuffer.py): a 1-D gather from
+    # a (T,) table pays the HBM per-index rate (~11 ns) because XLA pads the
+    # operand to 128 lanes (T x 128 x 4 B >> VMEM).  Four separate per-entry
+    # gathers (cum/wspan/ty0/tx0) were 18 ms of the 31 ms binning cost at
+    # 1080p/Sponza.  So: (a) segment starts are recovered by a SECOND cummax
+    # over head-scattered cum values (exclusive starts are monotone in
+    # triangle id, so segment-fill-by-cummax is exact), and (b) the tile-bbox
+    # info is packed into ONE int32 per triangle -> one row gather total.
     cum = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(span).astype(jnp.int32)]
     )  # (T + 1,) exclusive starts; cum[T] = true total entry count
     total = cum[t]
     overflow = jnp.maximum(total - e_cap, 0)[None]
+    tri_ids1 = jnp.where(span > 0, jnp.arange(t, dtype=jnp.int32) + 1, 0)
     heads = (
+        jnp.zeros(e_cap, jnp.int32).at[cum[:t]].max(tri_ids1, mode="drop")
+    )
+    # scatter-max the segment start position itself (cum is monotone, and
+    # only span>0 triangles may win a slot: scatter cum+1 so a zero-span
+    # triangle sharing the slot can never shadow position 0)
+    starts = (
         jnp.zeros(e_cap, jnp.int32)
         .at[cum[:t]]
-        .max(jnp.where(span > 0, jnp.arange(t, dtype=jnp.int32) + 1, 0),
-             mode="drop")
+        .max(jnp.where(span > 0, cum[:t] + 1, 0), mode="drop")
     )
     tri_of = jnp.clip(jax.lax.cummax(heads) - 1, 0, t - 1)
+    cum_of = jax.lax.cummax(starts) - 1  # exclusive start of e's segment
+    # packed per-triangle tile-bbox row: tile_base * (ntx + 1) + wspan, with
+    # tile_base = ty0 * ntx + tx0  (fits int32 for any realistic target:
+    # ntiles * (ntx + 1) at 4096^2 is ~541k)
+    pack_t = (ty0 * ntx + tx0) * (ntx + 1) + wspan
+    packed_of = pack_t[tri_of]  # the ONE per-entry gather
     e_iota = jnp.arange(e_cap, dtype=jnp.int32)
-    k = e_iota - cum[tri_of]  # row-major index into the triangle's tile bbox
-    ws = jnp.maximum(wspan[tri_of], 1)
-    tile = (ty0[tri_of] + k // ws) * ntx + (tx0[tri_of] + k % ws)
+    k = e_iota - cum_of  # row-major index into the triangle's tile bbox
+    ws = jnp.maximum(packed_of % (ntx + 1), 1)
+    tile_base = packed_of // (ntx + 1)
+    # k // ws via f32: k < e_cap < 2^24 and the +0.5 bias keeps the true
+    # quotient a safe distance from integers, so floor is exact (integer
+    # division lowers to a long VPU sequence; f32 divide is one op)
+    kq = jnp.floor((k.astype(jnp.float32) + 0.5) / ws.astype(jnp.float32))
+    kq = kq.astype(jnp.int32)
+    tile = tile_base + kq * ntx + (k - kq * ws)
     valid_e = e_iota < jnp.minimum(total, e_cap)
     tile = jnp.where(valid_e, tile, ntiles).astype(jnp.int32)
 
@@ -209,10 +236,13 @@ def bin_triangles(
     # static dense size: every tile's alignment waste is < CHUNK (+GROUP slack)
     d_total = (((e_cap + CHUNK - 1) // CHUNK) + ntiles + GROUP) * CHUNK
     valid_entry = tile_sorted < ntiles
-    rank = e_iota - offsets_raw[jnp.minimum(tile_sorted, ntiles - 1)]
+    # one (ntiles, 2) row gather for both per-entry offset lookups
+    offs2 = jnp.stack([offsets_raw[:ntiles], offsets[:ntiles]], axis=1)
+    offs2_of = offs2[jnp.minimum(tile_sorted, ntiles - 1)]
+    rank = e_iota - offs2_of[:, 0]
     dest = jnp.where(
         valid_entry,
-        offsets[jnp.minimum(tile_sorted, ntiles - 1)] + rank,
+        offs2_of[:, 1] + rank,
         d_total,  # dumped into the trailing scratch slot
     )
     # one fused scatter: slot value = tri + 1, 0 = empty (avoids a second
