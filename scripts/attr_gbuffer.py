@@ -6,6 +6,12 @@ script times (a) the pass stages jitted separately and (b) cumulative
 prefixes of bin_triangles, so differences attribute enumeration / sort /
 scatter+plane-pack individually.
 
+HISTORICAL SNAPSHOT: the prefix() stages mirror the ROUND-3 binning (the
+per-entry cum/wspan/ty0/tx0 gather enumeration) — the measurement that
+motivated the packed-gather rewrite now shipped in bin_triangles.  Rerunning
+attributes the old algorithm, not the current one; the stage-level (a)
+timings remain valid.
+
 Run: python scripts/attr_gbuffer.py
 """
 import sys

@@ -114,6 +114,33 @@ def test_medium_and_big_triangle_tiers():
     )
 
 
+def test_huge_e_cap_integer_divide_path():
+    """e_cap > 2^23 must route k//ws through exact integer division: the f32
+    floor((k+0.5)/ws) trick mis-quotients ~7% of k past 2^23 (ADVICE r4).
+    Bin the same scene under both static caps and require identical per-tile
+    entry streams."""
+    sc = procedural.cornell_box()
+    w, h = 160, 128
+    _, setup = _clip_setup(sc, w, h)
+    small = rt.bin_triangles(setup, w, h)
+    big = rt.bin_triangles(setup, w, h, e_cap=(1 << 23) + 1024)
+    assert (np.asarray(big.overflow) == 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(small.counts), np.asarray(big.counts)
+    )
+    # same (tile, tri) entry multiset: compare each tile's occupied slots
+    tri_s = np.asarray(small.entry_data[:, 12, :]).reshape(-1)
+    tri_b = np.asarray(big.entry_data[:, 12, :]).reshape(-1)
+    off_s = np.asarray(small.offsets)
+    off_b = np.asarray(big.offsets)
+    counts = np.asarray(small.counts)
+    for i in range(counts.shape[0]):
+        np.testing.assert_array_equal(
+            tri_s[off_s[i]:off_s[i] + counts[i]],
+            tri_b[off_b[i]:off_b[i] + counts[i]],
+        )
+
+
 def test_overflow_poisons_depth(monkeypatch):
     """Every-frame on-device overflow guard: when total tile entries exceed
     the static e_cap (triangles dropped), rasterize_scene must NaN-poison the

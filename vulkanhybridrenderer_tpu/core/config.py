@@ -147,3 +147,10 @@ class RenderConfig:
     forward: ForwardSettings = dataclasses.field(default_factory=ForwardSettings)
     raytraced: RaytracedSettings = dataclasses.field(default_factory=RaytracedSettings)
     rayquery: RayquerySettings = dataclasses.field(default_factory=RayquerySettings)
+
+    def __post_init__(self):
+        if self.bvh_leaf_max not in (8, 12):
+            raise ValueError(
+                f"bvh_leaf_max={self.bvh_leaf_max}: the BVH8 row layout "
+                "supports 8 or 12 triangles per leaf (128-float rows)"
+            )

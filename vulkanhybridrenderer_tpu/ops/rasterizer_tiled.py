@@ -196,11 +196,17 @@ def bin_triangles(
     k = e_iota - cum_of  # row-major index into the triangle's tile bbox
     ws = jnp.maximum(packed_of % (ntx + 1), 1)
     tile_base = packed_of // (ntx + 1)
-    # k // ws via f32: k < e_cap < 2^24 and the +0.5 bias keeps the true
-    # quotient a safe distance from integers, so floor is exact (integer
-    # division lowers to a long VPU sequence; f32 divide is one op)
-    kq = jnp.floor((k.astype(jnp.float32) + 0.5) / ws.astype(jnp.float32))
-    kq = kq.astype(jnp.int32)
+    # k // ws via f32: the +0.5 bias keeps the true quotient a safe distance
+    # from integers, so floor is exact — but only while k + 0.5 is itself
+    # exactly representable, i.e. k < 2^23 (measured: ~7% wrong quotients
+    # just past 2^23).  e_cap is static, so branch at trace time: huge entry
+    # totals (>~840k tris at shadow-map res) pay the exact integer-divide
+    # VPU sequence instead of silently mis-binning.
+    if e_cap <= (1 << 23):
+        kq = jnp.floor((k.astype(jnp.float32) + 0.5) / ws.astype(jnp.float32))
+        kq = kq.astype(jnp.int32)
+    else:
+        kq = jnp.maximum(k, 0) // ws
     tile = tile_base + kq * ntx + (k - kq * ws)
     valid_e = e_iota < jnp.minimum(total, e_cap)
     tile = jnp.where(valid_e, tile, ntiles).astype(jnp.int32)
