@@ -50,11 +50,21 @@ def to_world(scene: SceneBuffers, prim_transform=None, prim_normal_mat=None) -> 
     nm = scene.prim_normal_mat if prim_normal_mat is None else prim_normal_mat
     vprim = vertex_prim_ids(scene)
 
-    def gather_mat3x4(mat):
-        # per-element flat gathers (row gathers of (P,4,4) are ~300x slower on TPU)
-        flat = mat.reshape(-1, 16)
+    # ONE packed (P, 24) row gather per vertex: rows 0..2 of the model matrix
+    # and of the normal matrix side by side.  Gather cost on TPU is per-INDEX,
+    # not per-byte (docs/PERF_STATUS.md rule 2), so this costs V indices where
+    # the per-element formulation paid 24 * V — measured 30 ms -> single-digit
+    # on the 786k-vertex 1080p frame (round-5 floor attack).  2-D (P, C) row
+    # gathers are the proven-fast shape (the BVH8/shadetab tables); gathers
+    # with trailing dims like (P, 4, 4) lower ~300x slower.
+    packed = jnp.concatenate(
+        [m.reshape(-1, 16)[:, :12], nm.reshape(-1, 16)[:, :12]], axis=1
+    )  # (P, 24)
+    vrows = packed[vprim]  # (V, 24) — THE gather
+
+    def mat_rows(base):
         return [
-            [flat[:, i * 4 + j][vprim] for j in range(4)] for i in range(3)
+            [vrows[:, base + i * 4 + j] for j in range(4)] for i in range(3)
         ]  # [i][j] -> (V,)
 
     def apply(rows, p3, translate):
@@ -66,8 +76,8 @@ def to_world(scene: SceneBuffers, prim_transform=None, prim_normal_mat=None) -> 
         ]
         return jnp.stack(out, axis=-1)
 
-    mv = gather_mat3x4(m)
-    nmv = gather_mat3x4(nm)
+    mv = mat_rows(0)
+    nmv = mat_rows(12)
     pos = apply(mv, scene.positions, True)
     nrm = apply(nmv, scene.normals, False)
     tan_xyz = apply(mv, scene.tangents[:, :3], False)
