@@ -65,6 +65,56 @@ def test_rasterize_scene_with_alpha():
     _assert_vis_equal(brute, full)
 
 
+def _stacked_leaves_scene(n_layers=3):
+    """Opaque checker floor + n_layers of alpha-MASK leaf quads stacked at
+    different heights under a top-down camera: the deepest (reverse-Z
+    nearest) leaf's cutout regions must reveal the next leaf below, which
+    exercises MULTIPLE rounds of the binned depth-peeling alpha raster."""
+    from vulkanhybridrenderer_tpu.scene.procedural import (
+        Camera, SceneBuilder, checker_texture, leaf_texture,
+        make_directional_light, quad_mesh, scale_mat, translate,
+    )
+
+    b = SceneBuilder()
+    tex = b.add_texture(checker_texture(), srgb=True)
+    leaf = b.add_texture(leaf_texture(), srgb=True)
+    b.add(quad_mesh((1.0, 1.0)), translate([0, 0, 0]) @ scale_mat([2, 1, 2]),
+          base_color_texture=tex, metallic_factor=0.0, roughness_factor=1.0)
+    for i in range(n_layers):
+        # slight offsets so cutouts don't align across layers
+        b.add(
+            quad_mesh((1.0, 1.0)),
+            translate([0.12 * i, 0.5 + 0.4 * i, 0.1 * i]),
+            base_color_texture=leaf, metallic_factor=0.0,
+            roughness_factor=1.0, alpha_mask=1, alpha_cutoff=0.5,
+        )
+    cam = Camera(
+        yfov=np.deg2rad(60.0), znear=0.05, aspect=1.0, pitch=-1.35,
+        position=np.array([0.0, 3.5, 0.6], np.float32),
+    )
+    light = make_directional_light([0.0, -1.0, -0.2], intensity=6.0)
+    return b.build("StackedLeaves", cam, light)
+
+
+def test_alpha_peel_multilayer_matches_brute():
+    """Stacked rejected masked fragments: the peel must surface the deepest
+    PASSING fragment per pixel exactly as the brute per-fragment kill does
+    (rounds=4 covers 3 stacked leaves + floor)."""
+    sc = _stacked_leaves_scene(3)
+    w = h = 96
+    clip, setup = _clip_setup(sc, w, h)
+    mask_fn = make_alpha_frag_mask(sc.buffers, clip)
+    brute = rasterizer.rasterize(setup, w, h, chunk=16, frag_mask_fn=mask_fn)
+    full = rt.rasterize_scene(sc.buffers, clip, w, h, interpret=True)
+    _assert_vis_equal(brute, full)
+    # the peel must actually recurse: some pixel's winner is a DEEPER leaf
+    # than the top layer (i.e. multiple leaf layers visible)
+    tri = np.asarray(full.tri_id)
+    masked = np.asarray(sc.buffers.alpha_tri_idx)
+    layers_seen = {int(t) // 2 for t in np.unique(tri) if t in set(masked)}
+    assert len(layers_seen) >= 2, "test scene too easy: only one leaf layer visible"
+
+
 def test_big_triangle_path():
     # one huge floor quad spanning many tiles -> exercises the big list
     sc = procedural.pica_proxy(grid=2)

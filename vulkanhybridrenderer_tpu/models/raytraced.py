@@ -59,9 +59,12 @@ class RaytracedPath(RenderPath):
             bvh = res["BVH"]
             tris = res["WorldTris"]
             o, d = primary_rays(pfd, h, w)
+            # the any-hit alpha filter only pays off when MASK materials
+            # exist — an all-opaque scene gets bit-identical results with
+            # the filter compiled out (2 gather idx/candidate saved)
             filt = (
                 traverse.make_alpha_hit_filter(scene, res["shade_tables"])
-                if test_alpha else None
+                if test_alpha and scene.has_alpha_mask else None
             )
             # coherent primary closest-hit: tiled PACKET traversal (8x16-pixel
             # packets share one walk, 375 -> 254 ms at 2M rays), strips =

@@ -74,10 +74,9 @@ def make_alpha_frag_mask(scene: SceneBuffers, clip=None, tables=None):
         tables = shadetab.build_shade_tables(scene)
 
     def frag_mask(tri_ids, wts):
-        prim = scene.tri_prim[tri_ids]  # (C,)
-        pm = shadetab.fetch_prim(tables.prim_rows, prim)  # ONE row gather
+        pm = shadetab.fetch_tri_static(tables, tri_ids)  # ONE row gather
         needs_test = (pm["alpha_mask"] == 1.0) & (pm["base_tex"] >= 0)
-        uvv = shadetab.fetch_tri_uv(tables, tri_ids)  # (C, 3, 2)
+        uvv = pm["uv0"]  # (C, 3, 2)
         uv = jnp.einsum("chwk,ckj->chwj", wts, uvv)
         alpha = shadetab.sample_atlas4(
             tables,
@@ -131,7 +130,7 @@ def resolve_gbuffer(
     tri = jnp.maximum(vis.tri_id, 0)
     tr = shadetab.fetch_tri(tri_rows, tri)  # ONE row gather
     prim = tr["prim"]
-    pm = shadetab.fetch_prim(tables.prim_rows, prim)  # ONE row gather
+    pm = tr  # material fields are folded into the TriRow (no prim gather)
 
     wts = weights_from_bary(vis.bary)
     uv = shadetab.interpolate3(tr["uv0"], wts)

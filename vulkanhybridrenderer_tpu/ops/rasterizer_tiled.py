@@ -98,14 +98,22 @@ def _tile_counts(width: int, height: int, tile_h: int, tile_w: int):
     return math.ceil(width / tile_w), math.ceil(height / tile_h)
 
 
-def _plane_table(setup: TriangleSetup):
+def _plane_table(setup: TriangleSetup, tri_ids=None):
     """Per-TRIANGLE plane-coefficient table (T + 1, 16) f32 from the setup's
     homogeneous planes (ops/rasterizer.triangle_setup), plus the float id in
     col 12.  Row T is a poison row (l0 == -1 everywhere: never covers) used for
     padding entries.  Entry packing costs ONE row gather per entry — gather
-    cost on TPU is per-index regardless of row width (docs/PERF_STATUS.md)."""
+    cost on TPU is per-index regardless of row width (docs/PERF_STATUS.md).
+
+    tri_ids: optional (T,) int ids to bake into col 12 instead of arange —
+    subset rasters (alpha peeling) emit GLOBAL triangle ids directly, so no
+    per-pixel local->global remap gather is ever paid."""
     t = setup.planes.shape[0]
-    ids = jnp.arange(t, dtype=jnp.float32)
+    ids = (
+        jnp.arange(t, dtype=jnp.float32)
+        if tri_ids is None
+        else tri_ids.astype(jnp.float32)
+    )
     tab = jnp.zeros((t + 1, _NFIELDS), jnp.float32)
     tab = tab.at[:t, 0:12].set(setup.planes)
     tab = tab.at[:t, 12].set(ids)
@@ -127,6 +135,7 @@ def bin_triangles(
     e_cap: int | None = None,
     cull_backface: bool = True,
     exclude_mask=None,
+    tri_ids=None,
 ) -> Bins:
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
@@ -258,7 +267,7 @@ def bin_triangles(
         .at[dest]
         .set(jnp.where(valid_entry, tri_sorted + 1, 0))[:-1]
     )
-    plane_tab = _plane_table(setup)  # (T + 1, 16), no gathers
+    plane_tab = _plane_table(setup, tri_ids)  # (T + 1, 16), no gathers
     safe_dense = jnp.where(tri_plus > 0, tri_plus - 1, t)
     packed = plane_tab[safe_dense]  # ONE row gather for all entries
     entry_data = packed.reshape(d_total // CHUNK, CHUNK, _NFIELDS).transpose(0, 2, 1)
@@ -282,26 +291,25 @@ def bin_triangles(
 
 
 def _raster_kernel(
-    # scalar prefetch
-    offsets_ref,  # (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
-    counts_ref,  # (ntiles_pad,) SMEM (true entry counts)
-    ctile_ref,  # (nblocks,) SMEM (owning tile per block)
-    # inputs
-    entry_hbm,  # (nblocks, 16, CHUNK) ANY/HBM
+    # refs, in order:
+    # offsets_ref  (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
+    # counts_ref   (ntiles_pad,) SMEM (true entry counts)
+    # ctile_ref    (nblocks,) SMEM (owning tile per block)
+    # entry_hbm    (nblocks, 16, CHUNK) ANY/HBM
+    # [zcap_ref, captid_ref]  ((npx, TILES_PER_PROG) VMEM, only when use_zcap:
+    #   per-pixel depth-peel bound — a fragment is covered only when
+    #   (z, tri_id) < (zcap, captid) lexicographically (reverse-Z: strictly
+    #   BELOW the previously killed winner, ties broken by the kernel's
+    #   largest-id-wins rule).  Drives the binned alpha-mask peeling.]
     # outputs ((npx, TILES_PER_PROG) block: one column per tile of this program)
-    depth_out,
-    tri_out,
-    b1_out,
-    b2_out,
-    bs_out,
     # scratch
-    chunk_vmem,  # (2, GROUP, 16, CHUNK) DMA landing buffers
-    sem,  # DMA semaphores (2,)
-    *,
+    #   chunk_vmem (2, GROUP, 16, CHUNK) DMA landing buffers, sem (2,)
+    *refs,
     tile_h: int,
     tile_w: int,
     ntx: int,
     ntiles: int,
+    use_zcap: bool = False,
 ):
     """Flat-stream formulation: one fori_loop over this program's entry BLOCKS
     (not per-tile loops -- per-tile setup cost dominated the previous design).
@@ -310,6 +318,13 @@ def _raster_kernel(
     into the owning tile's output column.  Pixels on sublanes, triangles on lanes:
     zero relayouts.  (Arbitrary-span triangles get exact per-tile entries from
     the compact binning enumeration -- there is no separate "big" list.)"""
+    if use_zcap:
+        (offsets_ref, counts_ref, ctile_ref, entry_hbm, zcap_ref, captid_ref,
+         depth_out, tri_out, b1_out, b2_out, bs_out, chunk_vmem, sem) = refs
+    else:
+        (offsets_ref, counts_ref, ctile_ref, entry_hbm,
+         depth_out, tri_out, b1_out, b2_out, bs_out, chunk_vmem, sem) = refs
+        zcap_ref = captid_ref = None
     j = pl.program_id(0)
     npx = tile_h * tile_w
     flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
@@ -356,6 +371,18 @@ def _raster_kernel(
             (lam0 >= 0.0) & (lam1 >= 0.0) & (lam2 >= 0.0)
             & (z >= 0.0) & (z <= 1.0) & (lane < n_valid)
         )
+        if use_zcap:
+            # depth-peel bound: only fragments strictly (z, id)-below the
+            # previously killed winner are candidates (one-hot column pick
+            # is a (npx, T) mul+reduce — cheap next to the 16 plane FMAs)
+            sel = colid == col
+            zc = jnp.sum(
+                jnp.where(sel, zcap_ref[...], 0.0), axis=1, keepdims=True
+            )
+            tc = jnp.sum(
+                jnp.where(sel, captid_ref[...], 0.0), axis=1, keepdims=True
+            )
+            covered &= (z < zc) | ((z == zc) & (tid < tc))
         zm = jnp.where(covered, z, -1.0)
         zb = jnp.max(zm, axis=1, keepdims=True)  # (npx, 1)
         winners = covered & (zm == zb)
@@ -436,9 +463,26 @@ def _raster_kernel(
     bs_out[...] = bbs
 
 
+def untile_image(a, width: int, height: int, tile_h: int = TILE_H,
+                 tile_w: int = TILE_W):
+    """(npx, ntiles_pad) tile-major kernel output -> (H, W) image."""
+    ntx, nty = _tile_counts(width, height, tile_h, tile_w)
+    ntiles = ntx * nty
+    ntiles_pad = a.shape[1]
+    # single 4D transpose (a.T-then-reshape chains compile to slow copies)
+    img = (
+        a.reshape(tile_h, tile_w, ntiles_pad)[:, :, :ntiles]
+        .reshape(tile_h, tile_w, nty, ntx)
+        .transpose(2, 0, 3, 1)
+        .reshape(nty * tile_h, ntx * tile_w)
+    )
+    return img[:height, :width]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "interpret"),
+    static_argnames=("width", "height", "tile_h", "tile_w", "interpret",
+                     "tiled"),
 )
 def rasterize_binned(
     bins: Bins,
@@ -447,29 +491,39 @@ def rasterize_binned(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     interpret: bool = False,
-) -> VisibilityBuffer:
+    z_cap=None,
+    tid_cap=None,
+    tiled: bool = False,
+):
+    """Run the tile kernel over `bins`.
+
+    z_cap/tid_cap: optional (npx, ntiles_pad) per-pixel depth-peel bounds
+    (see _raster_kernel).  tiled=True returns the raw tile-major
+    (depth, tri, b1, b2, bs) arrays — the alpha-peel loop stays in tile
+    space between rounds; default returns an untiled VisibilityBuffer."""
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
     ntiles_pad = (
         (ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG
     ) * TILES_PER_PROG
     npx = tile_h * tile_w
+    use_zcap = z_cap is not None
 
+    col_spec = pl.BlockSpec(
+        (npx, TILES_PER_PROG), lambda j, *_: (0, j),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # entry_data stays in HBM
+    inputs = [bins.entry_data]
+    if use_zcap:
+        in_specs += [col_spec, col_spec]
+        inputs += [z_cap, tid_cap]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles_pad // TILES_PER_PROG,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # entry_data stays in HBM
-        ],
-        # one column per tile, TILES_PER_PROG columns per program block; untiled
-        # to (H, W) below in XLA.
-        out_specs=[
-            pl.BlockSpec(
-                (npx, TILES_PER_PROG), lambda j, *_: (0, j),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        * 5,
+        in_specs=in_specs,
+        # one column per tile, TILES_PER_PROG columns per program block
+        out_specs=[col_spec] * 5,
         scratch_shapes=[
             pltpu.VMEM((2, GROUP, _NFIELDS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -477,7 +531,8 @@ def rasterize_binned(
     )
 
     kernel = functools.partial(
-        _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx, ntiles=ntiles
+        _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx, ntiles=ntiles,
+        use_zcap=use_zcap,
     )
     depth, tri_f, b1, b2, bs = pl.pallas_call(
         kernel,
@@ -497,24 +552,151 @@ def rasterize_binned(
         bins.offsets,
         bins.counts,
         bins.chunk_tile,
-        bins.entry_data,
+        *inputs,
     )
+    if tiled:
+        return depth, tri_f, b1, b2, bs
 
     def untile(a):
-        # single 4D transpose (a.T-then-reshape chains compile to slow copies)
-        img = (
-            a.reshape(tile_h, tile_w, ntiles_pad)[:, :, :ntiles]
-            .reshape(tile_h, tile_w, nty, ntx)
-            .transpose(2, 0, 3, 1)
-            .reshape(nty * tile_h, ntx * tile_w)
-        )
-        return img[:height, :width]
+        return untile_image(a, width, height, tile_h, tile_w)
 
     return VisibilityBuffer(
         tri_id=untile(tri_f),
         depth=untile(depth),
         bary=jnp.stack([untile(b1), untile(b2), untile(bs)], axis=-1),
     )
+
+
+def _subset_setup(setup: TriangleSetup, idx, valid_count=None) -> TriangleSetup:
+    """Gather the setup rows of a (static) triangle subset."""
+    return TriangleSetup(
+        planes=setup.planes[idx], sx=setup.sx[idx], sy=setup.sy[idx],
+        bbox=setup.bbox[idx], w_any=setup.w_any[idx], front=setup.front[idx],
+        valid=setup.valid[idx]
+        & (jnp.arange(idx.shape[0]) < valid_count
+           if valid_count is not None else True),
+    )
+
+
+def rasterize_alpha_peeled(
+    scene,
+    setup: TriangleSetup,
+    width: int,
+    height: int,
+    tables,
+    rounds: int = 4,
+    interpret: bool = False,
+    cull_backface: bool = True,
+    tile_h: int = TILE_H,
+    tile_w: int = TILE_W,
+):
+    """Binned raster of the alpha-MASK triangle subset with per-fragment alpha
+    kill (gbuf.frag:22-32 semantics) via DEPTH PEELING.
+
+    The per-fragment texture kill can't run inside the tile kernel (no
+    in-kernel atlas gathers), and the brute per-triangle scan costs
+    O(A * H * W) atlas taps (~seconds for a 600-leaf scene at 1080p).
+    Instead: rasterize the masked subset binned (cheap — only its own entry
+    blocks do work), alpha-test each pixel's WINNING fragment through the
+    fused tables (2 gather idx/px), and re-rasterize killed pixels with a
+    per-pixel (z, id) depth-peel bound so the next-deepest fragment
+    surfaces.  Pixels whose winner passes are final (nothing deeper can
+    win), so each round only pays where the previous round's winner was
+    killed; rounds after global convergence are skipped via lax.cond.
+
+    `rounds` bounds the peel depth: a pixel with more than `rounds`
+    consecutively-REJECTED masked fragments resolves as uncovered (the
+    reference's any-depth discard would show the next fragment).  Leaf-quad
+    foliage rarely stacks rejected fragments 4 deep; the brute path
+    (config.raster='brute') remains the exact oracle and tests compare the
+    two.  Returns an image-space VisibilityBuffer of accepted masked
+    fragments (+ the subset binning overflow, merged by the caller into the
+    frame's poison guard).
+    """
+    from vulkanhybridrenderer_tpu.ops import shadetab
+    from vulkanhybridrenderer_tpu.ops.rasterizer import weights_from_bary
+
+    idx = scene.alpha_tri_idx  # (A,) global ids, static length
+    sub = _subset_setup(setup, idx)
+    a_count = int(idx.shape[0])
+    bins = bin_triangles(
+        sub, width, height, tile_h=tile_h, tile_w=tile_w,
+        e_cap=max(8192, 8 * a_count), cull_backface=cull_backface,
+        tri_ids=idx,
+    )
+
+    ntx, nty = _tile_counts(width, height, tile_h, tile_w)
+    ntiles_pad = bins.counts.shape[0]
+    npx = tile_h * tile_w
+    big = jnp.float32(3.4e38)
+
+    def alpha_pass(bt, bb1, bb2, bbs):
+        """Per-pixel alpha test of the winning fragments (tile space)."""
+        has = bt >= 0
+        pm = shadetab.fetch_tri_static(tables, jnp.maximum(bt, 0))
+        wts = weights_from_bary(jnp.stack([bb1, bb2, bbs], axis=-1))
+        uv = shadetab.interpolate3(pm["uv0"], wts)
+        alpha = shadetab.sample_atlas4(
+            tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], uv
+        )[..., 3]
+        needs = (pm["alpha_mask"] == 1.0) & (pm["base_tex"] >= 0)
+        killed = has & needs & (alpha < pm["alpha_cutoff"])
+        return has & ~killed, killed
+
+    def round_body(state, first: bool):
+        (zcap, captid, fz, ft, f1, f2, fs, live) = state
+
+        def run(_):
+            bz, bt, bb1, bb2, bbs = rasterize_binned(
+                bins, width, height, tile_h=tile_h, tile_w=tile_w,
+                interpret=interpret, z_cap=zcap, tid_cap=captid, tiled=True,
+            )
+            accept, killed = alpha_pass(bt, bb1, bb2, bbs)
+            nz = jnp.where(killed, bz, -big)
+            nt = jnp.where(killed, bt.astype(jnp.float32), -big)
+            return (
+                nz, nt,
+                jnp.where(accept, bz, fz),
+                jnp.where(accept, bt, ft),
+                jnp.where(accept, bb1, f1),
+                jnp.where(accept, bb2, f2),
+                jnp.where(accept, bbs, fs),
+                jnp.any(killed),
+            )
+
+        if first:
+            return run(None)
+        # skip converged rounds entirely (costs nothing when no pixel was
+        # killed last round — the common case after round 1)
+        return jax.lax.cond(
+            live, run, lambda _: (
+                jnp.full_like(zcap, -big), jnp.full_like(captid, -big),
+                fz, ft, f1, f2, fs, jnp.bool_(False),
+            ), None,
+        )
+
+    state = (
+        jnp.full((npx, ntiles_pad), big), jnp.full((npx, ntiles_pad), big),
+        jnp.zeros((npx, ntiles_pad), jnp.float32),
+        jnp.full((npx, ntiles_pad), -1, jnp.int32),
+        jnp.zeros((npx, ntiles_pad), jnp.float32),
+        jnp.zeros((npx, ntiles_pad), jnp.float32),
+        jnp.ones((npx, ntiles_pad), jnp.float32),
+        jnp.bool_(True),
+    )
+    for k in range(max(1, rounds)):
+        state = round_body(state, first=(k == 0))
+    _, _, fz, ft, f1, f2, fs, _ = state
+
+    def untile(a):
+        return untile_image(a, width, height, tile_h, tile_w)
+
+    vis = VisibilityBuffer(
+        tri_id=untile(ft),
+        depth=untile(fz),
+        bary=jnp.stack([untile(f1), untile(f2), untile(fs)], axis=-1),
+    )
+    return vis, bins.overflow
 
 
 def _subset_brute(setup, idx, valid_count, width, height, chunk, frag_mask_fn=None,
@@ -605,20 +787,22 @@ def rasterize_scene(
     )
 
     if use_alpha:
-        idx = scene.alpha_tri_idx
-        base_mask = _gbuffer.make_alpha_frag_mask(scene, clip, tables=tables)
+        if tables is None:
+            from vulkanhybridrenderer_tpu.ops import shadetab as _shadetab
 
-        def local_mask(tri_local, wts):
-            return base_mask(idx[tri_local], wts)
-
-        # small chunk: the per-fragment alpha taps materialize (chunk, H, W, 4)
-        # intermediates, so keep the scan step tiny at high resolutions
-        alpha_chunk = 2 if width * height > 512 * 512 else 8
-        vis_m = _subset_brute(
-            setup, idx, None, width, height, chunk=alpha_chunk,
-            frag_mask_fn=local_mask,
+            tables = _shadetab.build_shade_tables(scene)
+        vis_m, overflow_m = rasterize_alpha_peeled(
+            scene, setup, width, height, tables, interpret=interpret,
+            cull_backface=cull_backface, tile_h=tile_h, tile_w=tile_w,
         )
         vis = merge_visibility(vis, vis_m)
+        # poison AFTER the merge: a NaN depth inside merge_visibility's >=
+        # compare would silently lose (NaN compares false), hiding the fault
+        poison_m = jnp.where(overflow_m[0] > 0, jnp.float32(jnp.nan),
+                             jnp.float32(1.0))
+        vis = VisibilityBuffer(
+            tri_id=vis.tri_id, depth=vis.depth * poison_m, bary=vis.bary
+        )
     return vis
 
 
@@ -708,18 +892,20 @@ def rasterize_scene_msaa(
             tri_id=vis.tri_id, depth=vis.depth * poison, bary=vis.bary
         )
         if use_alpha:
-            idx = scene.alpha_tri_idx
-            base_mask = _gbuffer.make_alpha_frag_mask(scene, clip, tables=tables)
+            if tables is None:
+                from vulkanhybridrenderer_tpu.ops import shadetab as _shadetab
 
-            def local_mask(tri_local, wts):
-                return base_mask(idx[tri_local], wts)
-
-            alpha_chunk = 2 if width * height > 512 * 512 else 8
-            vis_m = _subset_brute(
-                _offset_setup(setup, dx, dy), idx, None, width, height,
-                chunk=alpha_chunk, frag_mask_fn=local_mask,
+                tables = _shadetab.build_shade_tables(scene)
+            vis_m, overflow_m = rasterize_alpha_peeled(
+                scene, _offset_setup(setup, dx, dy), width, height, tables,
+                interpret=interpret, cull_backface=cull_backface,
             )
             vis = merge_visibility(vis, vis_m)
+            poison_m = jnp.where(overflow_m[0] > 0, jnp.float32(jnp.nan),
+                                 jnp.float32(1.0))
+            vis = VisibilityBuffer(
+                tri_id=vis.tri_id, depth=vis.depth * poison_m, bary=vis.bary
+            )
         out.append(vis)
     return out
 

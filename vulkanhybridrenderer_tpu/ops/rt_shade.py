@@ -29,7 +29,7 @@ def interpolate_hit_attributes(tables, tri_rows, tri, u, v):
     t = jnp.maximum(tri, 0)
     tr = shadetab.fetch_tri(tri_rows, t)
     wts = jnp.stack([1.0 - u - v, u, v], axis=-1)
-    pm = shadetab.fetch_prim(tables.prim_rows, tr["prim"])
+    pm = tr  # material fields folded into the TriRow (no prim gather)
     return dict(
         prim=tr["prim"],
         uv=shadetab.interpolate3(tr["uv0"], wts),

@@ -20,15 +20,15 @@ def resolve_forward_attributes(scene: SceneBuffers, tables, tri_rows, vis):
     """Interpolate the attribute set the forward fragment shaders consume:
     world position, object-space normal (normal-mapped), uv, albedo, validity.
 
-    Uses the fused gather tables (ops/shadetab.py): 1 TriRow + 1 PrimRow +
-    4 atlas-row gathers per pixel (+4 when normal maps are present)."""
+    Uses the fused gather tables (ops/shadetab.py): 1 TriRow (material
+    fields folded in) + 1 quad-atlas row per bilinear sample."""
     from vulkanhybridrenderer_tpu.ops import shadetab
 
     valid = vis.tri_id >= 0
     tri = jnp.maximum(vis.tri_id, 0)
     tr = shadetab.fetch_tri(tri_rows, tri)
     prim = tr["prim"]
-    pm = shadetab.fetch_prim(tables.prim_rows, prim)
+    pm = tr  # material fields folded into the TriRow (no prim gather)
 
     wts = weights_from_bary(vis.bary)
     uv = shadetab.interpolate3(tr["uv0"], wts)

@@ -8,18 +8,29 @@ and XLA-on-TPU gather cost is per-INDEX (~11 ns from HBM-resident operands,
 up to 128 f32 (measured, docs/PERF_STATUS.md).  So the fix is to fuse columns
 into rows and gather ROWS:
 
-  * TriRow (T, 40): everything the resolve needs about a triangle's three
-    vertices in ONE gather -- world positions, clip w, object-space normals,
-    tangents, uv0, primitive id.  Static columns are packed once at scene
-    load; the per-frame columns (world position, clip w) are rebuilt in-jit by
-    make_tri_rows at triangle count (≪ pixel count) and concatenated.
-  * PrimRow (P, 32): material constants + texture ids + each texture's atlas
-    scale/offset + the 3x3 normal matrix in one gather.
-  * atlas4 (AH*AW, 4): texel-major atlas so one bilinear tap = ONE 4-channel
-    row gather instead of 4 per-channel gathers (bilinear = 4 taps total).
+  * TriRow (T, 72): everything the resolve needs about a triangle in ONE
+    gather -- the three vertices' world positions, clip w, object-space
+    normals, tangents, uv0, plus the owning PRIMITIVE'S whole material row
+    (folded in at build time, so the resolve never pays a second per-pixel
+    prim gather).  Static columns are packed once at scene load; the
+    per-frame columns (world position, clip w) are rebuilt in-jit by
+    make_tri_rows at triangle count (<< pixel count) and concatenated.
+  * PrimRow (P, 32): the material row by primitive id, kept for consumers
+    that have a prim id but no triangle (compat/tests).
+  * atlas_q (AH*AW, 16): quad-packed texel-major atlas -- row t holds texel
+    t's whole 2x2 bilinear footprint (self, +x, +y, +xy neighbors x 4
+    channels), so one bilinear tap = ONE row gather instead of 4.  Wrap
+    correctness comes from the atlas packer's per-texture 1-texel wrap
+    border (scene/atlas.py), which makes atlas-space +1 the REPEAT-wrap
+    neighbor; the table is then just 4 whole-atlas rolls (jnp-only, safe to
+    build in-trace).
 
-Per-pixel gather budget after fusion: 1 TriRow + 1 PrimRow + 4 atlas rows
-(+4 per extra texture kind) ≈ 6-14 indices instead of ~80.
+Per-pixel gather budget after fusion (round 5): 1 TriRow + 1 atlas row per
+bilinear sample = 2-4 indices instead of ~80 (round 1) / 6-14 (rounds 2-4:
+separate prim row + 4 rows per bilinear tap; measured 121 ms of the 1080p
+G-buffer, scripts/bench_resolve_gathers.py -- gather cost is flat in row
+WIDTH, so fusing more columns per row is free while every dropped index is
+~4.4-12 ns/pixel back).
 """
 from __future__ import annotations
 
@@ -36,7 +47,8 @@ _NRM = 12  # [12:21) object-space normals
 _TAN = 21  # [21:33) tangents xyzw
 _UV0 = 33  # [33:39) uv0
 _PRIM = 39  # [39]    primitive id
-TRI_ROW_W = 40
+_PMAT = 40  # [40:72) the owning primitive's PrimRow, folded in
+TRI_ROW_W = 72
 _N_STATIC = TRI_ROW_W - _NRM
 
 # PrimRow column map
@@ -55,9 +67,9 @@ PRIM_ROW_W = 32
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShadeTables:
-    tri_static: Any  # (T, 28) f32 static TriRow columns [12:40)
+    tri_static: Any  # (T, 60) f32 static TriRow columns [12:72)
     prim_rows: Any  # (P, 32) f32
-    atlas4: Any  # (AH*AW, 4) f32 texel-major atlas
+    atlas_q: Any  # (AH*AW, 16) f32 quad-packed texel-major atlas
     atlas_w: int = dataclasses.field(default=1, metadata=dict(static=True))
 
 
@@ -80,8 +92,6 @@ def build_shade_tables(scene) -> ShadeTables:
         for c in range(2):
             cols.append(scene.uv0[:, c][tv[:, j]])
     cols.append(scene.tri_prim.astype(jnp.float32))
-    tri_static = jnp.stack(cols, axis=-1)
-    assert tri_static.shape[1] == _N_STATIC
 
     m = scene.materials
     atlas = scene.atlas
@@ -111,11 +121,29 @@ def build_shade_tables(scene) -> ShadeTables:
     )
     assert prim_rows.shape[1] == PRIM_ROW_W
 
+    # fold each triangle's material row into its TriRow (one load-time gather
+    # at triangle count saves one per-PIXEL gather every resolve)
+    tri_static = jnp.concatenate(
+        [jnp.stack(cols, axis=-1), prim_rows[scene.tri_prim]], axis=-1
+    )
+    assert tri_static.shape[1] == _N_STATIC
+
     data = scene.atlas.data.astype(jnp.float32)  # (4, AH, AW)
     _, ah, aw = data.shape
-    atlas4 = data.transpose(1, 2, 0).reshape(ah * aw, 4)
+    base = data.transpose(1, 2, 0)  # (AH, AW, 4)
+    # quad rows via whole-atlas rolls: correct because the packer stores a
+    # 1-texel wrap border per texture (scene/atlas.py), so +1 in atlas space
+    # IS the REPEAT neighbor for every interior texel, and interior texels
+    # never sit on the atlas' last row/column (the border is inside).
+    right = jnp.roll(base, -1, axis=1)
+    down = jnp.roll(base, -1, axis=0)
+    diag = jnp.roll(right, -1, axis=0)
+    atlas_q = jnp.concatenate([base, right, down, diag], axis=-1).reshape(
+        ah * aw, 16
+    )
     return ShadeTables(
-        tri_static=tri_static, prim_rows=prim_rows, atlas4=atlas4, atlas_w=aw
+        tri_static=tri_static, prim_rows=prim_rows, atlas_q=atlas_q,
+        atlas_w=aw,
     )
 
 
@@ -131,16 +159,39 @@ def make_tri_rows(tables: ShadeTables, scene, world_pos, clip):
     for j in range(3):
         cols.append(w[tv[:, j]])
     dyn = jnp.stack(cols, axis=-1)  # (T, 12)
-    return jnp.concatenate([dyn, tables.tri_static], axis=-1)  # (T, 40)
+    return jnp.concatenate([dyn, tables.tri_static], axis=-1)  # (T, 72)
+
+
+def _prim_fields(row, base):
+    """Decode a PrimRow block starting at column `base` of `row`."""
+    s = row.shape[:-1]
+    return dict(
+        base_color=row[..., base + _BASE_COL:base + _BASE_COL + 4],
+        base_tex=row[..., base + _BASE_TEX].astype(jnp.int32),
+        base_scale=row[..., base + _BASE_TEX + 1:base + _BASE_TEX + 3],
+        base_offset=row[..., base + _BASE_TEX + 3:base + _BASE_TEX + 5],
+        nm_tex=row[..., base + _NM_TEX].astype(jnp.int32),
+        nm_scale=row[..., base + _NM_TEX + 1:base + _NM_TEX + 3],
+        nm_offset=row[..., base + _NM_TEX + 3:base + _NM_TEX + 5],
+        mr_tex=row[..., base + _MR_TEX].astype(jnp.int32),
+        mr_scale=row[..., base + _MR_TEX + 1:base + _MR_TEX + 3],
+        mr_offset=row[..., base + _MR_TEX + 3:base + _MR_TEX + 5],
+        metallic=row[..., base + _METAL],
+        roughness=row[..., base + _ROUGH],
+        alpha_mask=row[..., base + _AMASK],
+        alpha_cutoff=row[..., base + _ACUT],
+        normal_mat=row[..., base + _NMAT:base + _NMAT + 9].reshape(*s, 3, 3),
+    )
 
 
 def fetch_tri(tri_rows, tri_ids):
-    """ONE row gather -> dict of per-pixel vertex-attribute stacks.
+    """ONE row gather -> per-pixel vertex attributes AND the material fields
+    of the owning primitive (folded into the row at build time).
 
-    Returns arrays shaped (..., 3, k): slot-major per vertex."""
-    row = tri_rows[tri_ids]  # (..., 40)
+    Vertex attributes are shaped (..., 3, k): slot-major per vertex."""
+    row = tri_rows[tri_ids]  # (..., 72)
     s = tri_ids.shape
-    return dict(
+    out = dict(
         pos=row[..., _POS:_POS + 9].reshape(*s, 3, 3),
         clip_w=row[..., _CLIPW:_CLIPW + 3],
         normal=row[..., _NRM:_NRM + 9].reshape(*s, 3, 3),
@@ -148,29 +199,14 @@ def fetch_tri(tri_rows, tri_ids):
         uv0=row[..., _UV0:_UV0 + 6].reshape(*s, 3, 2),
         prim=row[..., _PRIM].astype(jnp.int32),
     )
+    out.update(_prim_fields(row, _PMAT))
+    return out
 
 
 def fetch_prim(prim_rows, prim_ids):
-    """ONE row gather -> material/primitive constants per pixel."""
-    row = prim_rows[prim_ids]  # (..., 32)
-    s = prim_ids.shape
-    return dict(
-        base_color=row[..., _BASE_COL:_BASE_COL + 4],
-        base_tex=row[..., _BASE_TEX].astype(jnp.int32),
-        base_scale=row[..., _BASE_TEX + 1:_BASE_TEX + 3],
-        base_offset=row[..., _BASE_TEX + 3:_BASE_TEX + 5],
-        nm_tex=row[..., _NM_TEX].astype(jnp.int32),
-        nm_scale=row[..., _NM_TEX + 1:_NM_TEX + 3],
-        nm_offset=row[..., _NM_TEX + 3:_NM_TEX + 5],
-        mr_tex=row[..., _MR_TEX].astype(jnp.int32),
-        mr_scale=row[..., _MR_TEX + 1:_MR_TEX + 3],
-        mr_offset=row[..., _MR_TEX + 3:_MR_TEX + 5],
-        metallic=row[..., _METAL],
-        roughness=row[..., _ROUGH],
-        alpha_mask=row[..., _AMASK],
-        alpha_cutoff=row[..., _ACUT],
-        normal_mat=row[..., _NMAT:_NMAT + 9].reshape(*s, 3, 3),
-    )
+    """ONE row gather -> material/primitive constants per pixel (compat path
+    for consumers holding a prim id without a TriRow)."""
+    return _prim_fields(prim_rows[prim_ids], 0)
 
 
 def interpolate3(attr, weights):
@@ -178,22 +214,32 @@ def interpolate3(attr, weights):
     return jnp.sum(attr * weights[..., None], axis=-2)
 
 
-def fetch_tri_uv(tables: ShadeTables, tri_ids):
-    """ONE static-row gather -> per-vertex uv0 (..., 3, 2).  For consumers
-    (alpha hit filters) that need uvs without the per-frame TriRows."""
-    row = tables.tri_static[tri_ids]  # (..., 28)
+def fetch_tri_static(tables: ShadeTables, tri_ids):
+    """ONE static-row gather -> per-vertex uv0 (..., 3, 2) plus the owning
+    primitive's material fields.  For consumers (alpha hit filters, fragment
+    alpha kill) that need uvs + alpha material data without the per-frame
+    TriRows: 1 gather where round 4 paid 3 (prim id + prim row + uv row)."""
+    row = tables.tri_static[tri_ids]  # (..., 60)
     s = tri_ids.shape
     off = _UV0 - _NRM
-    return row[..., off:off + 6].reshape(*s, 3, 2)
+    out = dict(uv0=row[..., off:off + 6].reshape(*s, 3, 2))
+    out.update(_prim_fields(row, _PMAT - _NRM))
+    return out
+
+
+def fetch_tri_uv(tables: ShadeTables, tri_ids):
+    """ONE static-row gather -> per-vertex uv0 (..., 3, 2)."""
+    return fetch_tri_static(tables, tri_ids)["uv0"]
 
 
 def sample_atlas4(tables: ShadeTables, tex_id, scale, offset, uv, fallback=None):
-    """Bilinear atlas sample = FOUR (AH*AW, 4) row gathers.
+    """Bilinear atlas sample = ONE (AH*AW, 16) quad-row gather.
 
     Same math as ops/texture.sample_atlas_bilinear (REPEAT wrap, half-texel
-    centers) but with the texture's scale/offset supplied by the caller (from
-    the PrimRow) instead of per-texture gathers.  tex_id < 0 -> fallback.
-    """
+    centers) with the texture's scale/offset supplied by the caller (from the
+    TriRow/PrimRow).  The +1-neighbor texels come packed in the gathered quad
+    row (wrap-correct via the packer's border, see build_shade_tables).
+    tex_id < 0 -> fallback."""
     aw = tables.atlas_w
     u = uv - jnp.floor(uv)
     t = u * scale - 0.5
@@ -205,18 +251,15 @@ def sample_atlas4(tables: ShadeTables, tex_id, scale, offset, uv, fallback=None)
 
     x0 = wrap(t0[..., 0], scale[..., 0])
     y0 = wrap(t0[..., 1], scale[..., 1])
-    x1 = wrap(t0[..., 0] + 1.0, scale[..., 0])
-    y1 = wrap(t0[..., 1] + 1.0, scale[..., 1])
-    ox = offset[..., 0]
-    oy = offset[..., 1]
-
-    def lin(x, y):
-        return ((oy + y).astype(jnp.int32) * aw + (ox + x).astype(jnp.int32))
-
-    c00 = tables.atlas4[lin(x0, y0)]
-    c10 = tables.atlas4[lin(x1, y0)]
-    c01 = tables.atlas4[lin(x0, y1)]
-    c11 = tables.atlas4[lin(x1, y1)]
+    lin = (
+        (offset[..., 1] + y0).astype(jnp.int32) * aw
+        + (offset[..., 0] + x0).astype(jnp.int32)
+    )
+    q = tables.atlas_q[lin]  # (..., 16) — THE gather
+    c00 = q[..., 0:4]
+    c10 = q[..., 4:8]
+    c01 = q[..., 8:12]
+    c11 = q[..., 12:16]
     fx = f[..., 0:1]
     fy = f[..., 1:2]
     out = (

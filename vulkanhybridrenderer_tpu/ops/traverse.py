@@ -97,9 +97,17 @@ def _trace8(
     init_state=None,
     return_state: bool = False,
     leaf_max: int = 8,
+    unroll: int = 1,
 ):
     """BVH8 wavefront traversal: ONE (N, 128) row gather per step tests 8 child
     AABBs (internal rows) or `leaf_max` full triangles (leaf rows).
+
+    unroll: steps per while-loop iteration.  The loop condition is a
+    device-wide reduction + scalar branch — a fixed per-iteration pipeline
+    bubble that dominates for narrow strips (measured ~15-20 us/iteration,
+    scripts/bench_ao_r5.py).  Checking every `unroll` steps costs at most
+    unroll-1 wasted steps per strip but divides the bubbles by unroll,
+    letting finer (closer-to-mean-walk) strips win.
 
     Per-ray stack = two (R, depth) int32 arrays updated with lane-mask selects
     (no per-lane scatters; depth is small and static).  Entry A packs
@@ -272,7 +280,20 @@ def _trace8(
         )
     else:
         init = tuple(init_state) + (jnp.int32(0),)
-    out = jax.lax.while_loop(cond, body, init)
+
+    if unroll > 1:
+        # chain `unroll` steps per while iteration: finished rays no-op
+        # (live=False masks every update), so the only cost is up to
+        # unroll-1 wasted lockstep steps per strip in exchange for 1/unroll
+        # of the loop-condition pipeline bubbles.
+        def body_u(state):
+            for _ in range(unroll):
+                state = body(state)
+            return state
+
+        out = jax.lax.while_loop(cond, body_u, init)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
     if return_state:
         return out[:8]
     return out[4], out[5], out[6], out[7]
@@ -1012,7 +1033,7 @@ def _trace_flat(
     jax.jit,
     static_argnames=(
         "anyhit", "hit_filter", "max_steps", "strips", "compact",
-        "sort_rays", "packets", "packet_phases",
+        "sort_rays", "packets", "packet_phases", "unroll",
     ),
 )
 def trace(
@@ -1030,6 +1051,7 @@ def trace(
     sort_rays: bool = False,
     packets: int = 0,
     packet_phases=((64, 8),),
+    unroll: int = 1,
 ) -> HitRecord:
     """Trace rays. origin/direction: (R, 3); tmin/tmax scalars or (R,).
 
@@ -1133,7 +1155,7 @@ def trace(
                 )
             return _trace8(
                 bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
-                hit_filter, max_steps, leaf_max=bvh.leaf_max,
+                hit_filter, max_steps, leaf_max=bvh.leaf_max, unroll=unroll,
             )
         return _trace_flat(
             nodes, tris9, bvh.order, bvh.leaf_size, bvh.root, o, dd, tn, tx,
@@ -1172,9 +1194,9 @@ def make_alpha_hit_filter(scene, tables=None):
     base-color alpha at the hit uv is below the material's cutoff.
 
     Gathers through the fused shade tables (ops/shadetab.py): 1 tri-static row
-    (3 vertex uvs) + 1 prim row (material + atlas scale/offset) + 4 atlas4
-    rows per bilinear tap = 6 indices/candidate, vs ~26 on the round-1
-    per-channel path.  `tables=None` rebuilds them in-trace (test
+    (3 vertex uvs + the folded material fields) + 1 quad-atlas row for the
+    bilinear tap = 2 indices/candidate, vs 6 in round 4 and ~26 on the
+    round-1 per-channel path.  `tables=None` rebuilds them in-trace (test
     convenience); production callers pass the scene-cached tables."""
     from vulkanhybridrenderer_tpu.ops import shadetab
 
@@ -1182,12 +1204,10 @@ def make_alpha_hit_filter(scene, tables=None):
         tables = shadetab.build_shade_tables(scene)
 
     def hit_filter(tri, u, v, candidate):
-        prim = scene.tri_prim[tri]
-        pm = shadetab.fetch_prim(tables.prim_rows, prim)
-        uvv = shadetab.fetch_tri_uv(tables, tri)  # (R, 3, 2)
+        pm = shadetab.fetch_tri_static(tables, tri)  # ONE row gather
         w0 = 1.0 - u - v
         wts = jnp.stack([w0, u, v], axis=-1)  # (R, 3)
-        uv = shadetab.interpolate3(uvv, wts)
+        uv = shadetab.interpolate3(pm["uv0"], wts)
         alpha = shadetab.sample_atlas4(
             tables, pm["base_tex"], pm["base_scale"], pm["base_offset"], uv
         )[..., 3]

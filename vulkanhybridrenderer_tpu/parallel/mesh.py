@@ -211,17 +211,22 @@ def rasterize_scene_sharded(scene, clip, width: int, height: int, mesh: Mesh,
     vis = _raster.VisibilityBuffer(tri_id=tri_id, depth=depth, bary=bary)
 
     if use_alpha:
-        # replicated alpha brute pass over the (few) masked triangles
-        idx = scene.alpha_tri_idx
-        base_mask = _gbuffer.make_alpha_frag_mask(scene, tables=tables)
+        # replicated binned depth-peel pass over the (few) masked triangles
+        # (ops/rasterizer_tiled.rasterize_alpha_peeled)
+        if tables is None:
+            from vulkanhybridrenderer_tpu.ops import shadetab as _shadetab
 
-        def local_mask(tri_local, wts):
-            return base_mask(idx[tri_local], wts)
-
-        alpha_chunk = 2 if width * height > 512 * 512 else 8
-        vis_m = _rt._subset_brute(
-            setup, idx, None, width, height, chunk=alpha_chunk,
-            frag_mask_fn=local_mask,
+            tables = _shadetab.build_shade_tables(scene)
+        dev = getattr(jax.config, "jax_default_device", None)
+        platform = getattr(dev, "platform", None) or jax.default_backend()
+        vis_m, overflow_m = _rt.rasterize_alpha_peeled(
+            scene, setup, width, height, tables,
+            interpret=platform != "tpu",
         )
         vis = _rt.merge_visibility(vis, vis_m)
+        poison_m = jnp.where(overflow_m[0] > 0, jnp.float32(jnp.nan),
+                             jnp.float32(1.0))
+        vis = _raster.VisibilityBuffer(
+            tri_id=vis.tri_id, depth=vis.depth * poison_m, bary=vis.bary
+        )
     return vis

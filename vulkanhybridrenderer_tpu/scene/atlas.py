@@ -75,7 +75,12 @@ def build_atlas(
             uv_scale=jnp.ones((1, 2), jnp.float32),
         )
     srgb = srgb or [False] * n
-    sizes = [(im.shape[1], im.shape[0]) for im in images]
+    # Each texture is packed with a 1-texel WRAP BORDER (its first column
+    # duplicated on the right, first row below, plus the corner): any texel's
+    # atlas-space +1 neighbor is then its REPEAT-wrap neighbor, which lets
+    # the quad-packed bilinear table (ops/shadetab.py atlas_q) be built with
+    # whole-atlas rolls and sampled with ONE gather per tap.
+    sizes = [(im.shape[1] + 1, im.shape[0] + 1) for im in images]
     pos, aw, ah = _shelf_pack(sizes)
     # Pad to TPU-friendly tile multiples (f32 tile = 8 x 128).
     aw = _round_up(max(aw, 128), 128)
@@ -97,6 +102,9 @@ def build_atlas(
         x, y = pos[i]
         h, w = im.shape[:2]
         atlas[y : y + h, x : x + w] = im
+        atlas[y : y + h, x + w] = im[:, 0]  # wrap border column
+        atlas[y + h, x : x + w] = im[0, :]  # wrap border row
+        atlas[y + h, x + w] = im[0, 0]  # wrap corner
         offsets[i] = (x, y)
         scales[i] = (w, h)
     return TextureAtlas(
