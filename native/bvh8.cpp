@@ -86,65 +86,97 @@ void collect_tris(const Ctx& c, int node, std::vector<int>& out) {
     }
 }
 
+// pack: big bins first (roots order), then FFD leaf packs
+std::vector<Bin> pack_roots(const Ctx& c, const std::vector<int>& roots) {
+    std::vector<Bin> bins;
+    std::vector<int> small;
+    for (int r : roots)
+        if (c.count[r] > c.leaf_max) {
+            Bin b;
+            b.leaf = false;
+            b.node = r;
+            for (int a = 0; a < 3; ++a) {
+                b.lo[a] = c.amin[3 * r + a];
+                b.hi[a] = c.amax[3 * r + a];
+            }
+            bins.push_back(std::move(b));
+        } else {
+            small.push_back(r);
+        }
+    std::stable_sort(small.begin(), small.end(), [&](int a, int b) {
+        return c.count[a] > c.count[b];
+    });
+    std::vector<std::pair<int64_t, std::vector<int>>> packs;
+    for (int r : small) {
+        bool placed = false;
+        for (auto& p : packs)
+            if (p.first + c.count[r] <= c.leaf_max) {
+                p.first += c.count[r];
+                p.second.push_back(r);
+                placed = true;
+                break;
+            }
+        if (!placed) packs.push_back({c.count[r], {r}});
+    }
+    for (auto& p : packs) {
+        Bin b;
+        b.leaf = true;
+        b.roots = p.second;
+        for (int a = 0; a < 3; ++a) {
+            b.lo[a] = 3.0e38f;
+            b.hi[a] = -3.0e38f;
+        }
+        for (int r : p.second)
+            for (int a = 0; a < 3; ++a) {
+                b.lo[a] = std::min(b.lo[a], c.amin[3 * r + a]);
+                b.hi[a] = std::max(b.hi[a], c.amax[3 * r + a]);
+            }
+        bins.push_back(std::move(b));
+    }
+    return bins;
+}
+
 std::vector<Bin> make_bins(const Ctx& c, int node) {
     std::vector<int> roots{node};
     while (true) {
-        // pack: big bins first (roots order), then FFD leaf packs
-        std::vector<Bin> bins;
-        std::vector<int> small;
-        for (int r : roots)
-            if (c.count[r] > c.leaf_max) {
-                Bin b;
-                b.leaf = false;
-                b.node = r;
-                for (int a = 0; a < 3; ++a) {
-                    b.lo[a] = c.amin[3 * r + a];
-                    b.hi[a] = c.amax[3 * r + a];
-                }
-                bins.push_back(std::move(b));
-            } else {
-                small.push_back(r);
-            }
-        std::stable_sort(small.begin(), small.end(), [&](int a, int b) {
-            return c.count[a] > c.count[b];
-        });
-        std::vector<std::pair<int64_t, std::vector<int>>> packs;
-        for (int r : small) {
-            bool placed = false;
-            for (auto& p : packs)
-                if (p.first + c.count[r] <= c.leaf_max) {
-                    p.first += c.count[r];
-                    p.second.push_back(r);
-                    placed = true;
-                    break;
-                }
-            if (!placed) packs.push_back({c.count[r], {r}});
-        }
-        for (auto& p : packs) {
-            Bin b;
-            b.leaf = true;
-            b.roots = p.second;
-            for (int a = 0; a < 3; ++a) {
-                b.lo[a] = 3.0e38f;
-                b.hi[a] = -3.0e38f;
-            }
-            for (int r : p.second)
-                for (int a = 0; a < 3; ++a) {
-                    b.lo[a] = std::min(b.lo[a], c.amin[3 * r + a]);
-                    b.hi[a] = std::max(b.hi[a], c.amax[3 * r + a]);
-                }
-            bins.push_back(std::move(b));
-        }
+        std::vector<Bin> bins = pack_roots(c, roots);
         // splittable in roots order; expand the FIRST max-count one
         int best = -1;
         for (int r : roots)
             if (c.count[r] > c.leaf_max && (best < 0 || c.count[r] > c.count[best]))
                 best = r;
-        if ((int)bins.size() >= 8 || best < 0) return bins;
+        if ((int)bins.size() >= 8 || best < 0) break;
         roots.erase(std::find(roots.begin(), roots.end(), best));
         roots.push_back(c.left[best]);
         roots.push_back(c.right[best]);
     }
+    // Phase 2 — fill-improving fragmentation (round 5): small internal bins
+    // (count <= 4 * leaf_max) that the arity budget allows are split into
+    // their binary children so FFD can pack the pieces into FULLER leaf
+    // rows.  A 13-triangle subtree as its own BVH8 node costs 1 internal +
+    // 2 half-empty leaf rows; fragmented, its halves usually merge into
+    // sibling packs for 1-2 full rows.  Cuts the row table ~15-25% (the
+    // VMEM-residency lever for big scenes, docs/PERF_STATUS.md rule 5).
+    const int64_t frag_cap = 4 * (int64_t)c.leaf_max;
+    bool changed = true;
+    while (changed) {
+        changed = false;
+        for (size_t i = 0; i < roots.size(); ++i) {
+            int r = roots[i];
+            if (c.count[r] > c.leaf_max && c.count[r] <= frag_cap) {
+                std::vector<int> trial(roots);
+                trial.erase(trial.begin() + i);
+                trial.push_back(c.left[r]);
+                trial.push_back(c.right[r]);
+                if ((int)pack_roots(c, trial).size() <= 8) {
+                    roots.swap(trial);
+                    changed = true;
+                    break;
+                }
+            }
+        }
+    }
+    return pack_roots(c, roots);
 }
 
 }  // namespace

@@ -259,10 +259,10 @@ def test_packet_trace_matches_per_ray():
     )
 
 
-def test_subpacket_trace_matches_per_ray():
-    """Sub-packet traversal (K < 128 rays on the sublane axis sharing one
-    walk, _trace8_subpacket) and its phased-compaction variant must produce
-    exactly the plain per-ray results, including sub-packets mixing
+def test_narrow_packet_trace_matches_per_ray():
+    """Narrow packets (K < 128 rays sharing one walk through _trace8_packet
+    with a padded lane axis) and the phased-compaction variant must produce
+    exactly the plain per-ray results, including packets mixing
     hit/miss/dead rays and multi-strip schedules."""
     tris = _random_soup(400, seed=41)
     b8 = _bvh8(tris)
@@ -289,8 +289,8 @@ def test_subpacket_trace_matches_per_ray():
                     np.testing.assert_allclose(
                         np.asarray(a.t), np.asarray(pkt.t), atol=1e-5
                     )
-        # phased sub-packet compaction: both the compacted path (big strip,
-        # caps smaller than the sub-packet count) and overflow fallback
+        # phased packet compaction at K=8: both the compacted path (big
+        # strip, caps smaller than the packet count) and overflow fallback
         ph = traverse.trace(b8, tris, o, d, 0.01, tmax_j, anyhit=anyhit,
                             strips=1, packets=8, compact=True,
                             packet_phases=((6, 2), (12, 8)))
@@ -353,7 +353,7 @@ def test_traversal_fuzz_vs_brute_force():
         np.testing.assert_allclose(
             np.asarray(rec.t)[hit_bf], bf_t[hit_bf], rtol=1e-5, atol=1e-5
         )
-        # sub-packet closest hits through the same degenerate geometry
+        # narrow-packet closest hits through the same degenerate geometry
         sub = traverse.trace(b8, tris, o, d, 1e-3, 1e4, packets=8, strips=1)
         np.testing.assert_array_equal(np.asarray(sub.hit), hit_bf)
         np.testing.assert_allclose(

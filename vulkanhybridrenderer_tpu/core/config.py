@@ -119,9 +119,12 @@ class RenderConfig:
     #: "binned" = sort-binned Pallas tile rasterizer (production);
     #: "brute" = O(T*P) reference rasterizer (small scenes / validation)
     raster: str = "binned"
-    #: alpha-masked geometry in the binned raster: "brute" = exact per-fragment
-    #: atlas taps via the reference rasterizer (expensive at high res); "off" =
-    #: skip masked triangles in raster passes (they remain in the BVH for RT)
+    #: alpha-masked geometry in raster passes (gbuf.frag:22-32 parity):
+    #: "brute" = per-fragment alpha kill — the binned path serves it with the
+    #: depth-peeling subset raster (ops/rasterizer_tiled.rasterize_alpha_
+    #: peeled, ~tens of ms), the reference rasterizer with exact per-fragment
+    #: taps; "off" = skip masked triangles in raster passes entirely (they
+    #: remain in the BVH for RT effects)
     alpha_raster: str = "brute"
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     #: acceleration structure for RT shadow rays (TPU-native extension; the
@@ -130,14 +133,16 @@ class RenderConfig:
     #: same hit/miss answers, wins when triangles are tiny relative to the
     #: light footprint (dense foliage/terrain)
     shadow_accel: str = "bvh8"
-    #: triangles per BVH8 leaf row (8 or 12; the 128-float row fits 12).
-    #: Fatter leaves cut the row count 25% but MEASURED SLOWER on the v5e
-    #: (scripts/bench_leafmax.py, Sponza 1080p wavefronts: shadow 63.5 ->
-    #: 92.3 ms, AO 402 -> 407): the walk barely shortens (depth 9 both)
-    #: while every leaf step pays 1.5x the masked Moller-Trumbore VPU work.
-    #: Kept as a knob for scenes where the 25% smaller gather table crosses
-    #: the VMEM-residency cliff (docs/PERF_STATUS.md rule 2).
-    bvh_leaf_max: int = 8
+    #: triangles per BVH8 leaf row: 0 = auto, or 8 / 12 (the 128-float row
+    #: fits 12).  Fatter leaves cut the row count ~25% but MEASURED SLOWER
+    #: on VMEM-resident tables (scripts/bench_leafmax.py, Sponza 1080p:
+    #: shadow 63.5 -> 92.3 ms): the walk barely shortens while every leaf
+    #: step pays 1.5x the masked Moller-Trumbore VPU work.  On tables past
+    #: the ~16 MB VMEM-residency cliff the per-step gather rate triples
+    #: (docs/PERF_STATUS.md rules 2/5), so auto picks 12 exactly when the
+    #: leaf-8 table misses VMEM and the leaf-12 one fits
+    #: (runtime/renderer._get_bvh).
+    bvh_leaf_max: int = 0
     # NOTE: no shadow-ray-count knob: the reference's raygen.rgen:39-41 loop
     # re-traces the SAME direction/payload 4x, which is semantically one
     # any-hit trace (ops/raygen.py traces once, bit-equal result).
@@ -149,8 +154,9 @@ class RenderConfig:
     rayquery: RayquerySettings = dataclasses.field(default_factory=RayquerySettings)
 
     def __post_init__(self):
-        if self.bvh_leaf_max not in (8, 12):
+        if self.bvh_leaf_max not in (0, 8, 12):
             raise ValueError(
                 f"bvh_leaf_max={self.bvh_leaf_max}: the BVH8 row layout "
-                "supports 8 or 12 triangles per leaf (128-float rows)"
+                "supports 8 or 12 triangles per leaf (128-float rows), "
+                "or 0 = auto-select by table VMEM residency"
             )

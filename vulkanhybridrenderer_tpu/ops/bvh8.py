@@ -183,11 +183,32 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
             bins = pack(roots)
             splittable = [r for r in roots if count[r] > leaf_max]
             if len(bins) >= 8 or not splittable:
-                return bins
+                break
             r = max(splittable, key=lambda x: count[x])
             roots.remove(r)
             roots.append(int(left[r]))
             roots.append(int(right[r]))
+        # Phase 2 — fill-improving fragmentation (round 5, mirrors
+        # native/bvh8.cpp bit-for-bit): small internal bins (count <=
+        # 4 * leaf_max) split into their binary children whenever the
+        # 8-child arity budget allows, so FFD packs the pieces into FULLER
+        # leaf rows (a 13-triangle subtree as its own node costs 1 internal
+        # + 2 half-empty leaves; fragmented, its halves merge into sibling
+        # packs).  ~15-25% smaller row tables — the VMEM-residency lever.
+        frag_cap = 4 * leaf_max
+        changed = True
+        while changed:
+            changed = False
+            for i, r in enumerate(roots):
+                if leaf_max < count[r] <= frag_cap:
+                    trial = roots[:i] + roots[i + 1:] + [
+                        int(left[r]), int(right[r])
+                    ]
+                    if len(pack(trial)) <= 8:
+                        roots = trial
+                        changed = True
+                        break
+        return pack(roots)
 
     def bin_box(b):
         if b[0] == "node":
@@ -293,6 +314,30 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
         depth=int(depth) + 2,
         leaf_max=leaf_max,
     )
+
+
+#: the measured VMEM-residency cliff for the traversal's gather operand
+#: (docs/PERF_STATUS.md rules 2/5: ~3-4.4 ns/idx when the (N, 128) f32 table
+#: fits on-chip vs ~11-12 ns from HBM).  Conservative budget below the 16 MB
+#: VMEM so the frame's other live buffers fit beside the table.
+VMEM_TABLE_BUDGET_BYTES = 14 << 20
+
+
+def build_bvh8_auto(bvh, tri_verts, budget: int = VMEM_TABLE_BUDGET_BYTES
+                    ) -> BVH8:
+    """leaf_max auto-selection: leaf-8 rows trace fastest when the table is
+    VMEM-resident (fatter leaves only add masked Moller-Trumbore VPU work,
+    measured round 4), but a table past the residency cliff pays ~3x per
+    gather — there the ~25% smaller leaf-12 table wins IF it crosses back
+    under.  Build leaf-8 first; rebuild at 12 only when that rescues
+    residency (e.g. the 254k-triangle realglb asset: 23 MB @8 -> fits @12)."""
+    b8 = build_bvh8_host(bvh, tri_verts, leaf_max=8)
+    if b8.num_rows * 512 <= budget:
+        return b8
+    b12 = build_bvh8_host(bvh, tri_verts, leaf_max=12)
+    if b12.num_rows * 512 <= budget:
+        return b12
+    return b8  # both miss VMEM: gather rate is equal, leaf-8 has less VPU
 
 
 @partial(jax.jit, static_argnames=("sweeps",))

@@ -6,14 +6,15 @@ through the tree in lockstep; the per-step (N, 128) BVH8 row gathers dominate
 cost (docs/PERF_STATUS.md cost model), so the production schedules all trade
 extra lane-dense VPU work for fewer gathers:
 
-  * _trace8_packet: K=128 rays share one walk (1 gather per packet-step) —
-    coherent wavefronts (shadow, primary).
-  * _trace8_subpacket: K<128 rays on the SUBLANE axis, M=R/K sub-packets on
-    lanes — dense VPU at any K; the AO (K=4) / reflection (K=16) sweet spots
-    measured by scripts/sim_packet_union.py.
-  * *_phased variants: staged compaction at (sub-)packet granularity for
-    heavy-tailed walks, with an exact overflow fallback.
-  * _trace8: per-ray walk, the no-packet fallback.
+  * _trace8_packet: K rays (production: 128) share one walk — 1 gather per
+    packet-step — for coherent wavefronts (shadow, primary).
+  * _trace8_packet_phased: staged compaction at packet granularity for
+    heavy-tailed walks (reflections), with an exact overflow fallback.
+  * _trace8: per-ray walk — incoherent wavefronts (AO hemispheres), where
+    every packet size measured slower (round-4 postmortem: the lockstep
+    strip pays packet-count x max-UNION-walk gathers; the round-3
+    sub-packet kernels this module once carried lost 3-14x on every
+    production wavefront and were deleted in round 5).
   * _trace_flat: simple skip-pointer walk over the legacy threaded LBVH
     (ops/bvh.py) — the independent test ORACLE, not a production path.
   * rays are traced in `strips` sequential slices (lax.map): the lockstep loop
@@ -102,12 +103,14 @@ def _trace8(
     """BVH8 wavefront traversal: ONE (N, 128) row gather per step tests 8 child
     AABBs (internal rows) or `leaf_max` full triangles (leaf rows).
 
-    unroll: steps per while-loop iteration.  The loop condition is a
-    device-wide reduction + scalar branch — a fixed per-iteration pipeline
-    bubble that dominates for narrow strips (measured ~15-20 us/iteration,
-    scripts/bench_ao_r5.py).  Checking every `unroll` steps costs at most
-    unroll-1 wasted steps per strip but divides the bubbles by unroll,
-    letting finer (closer-to-mean-walk) strips win.
+    unroll: steps per while-loop iteration.  Each loop iteration carries a
+    fixed overhead (cond reduction + scalar branch + issue bubbles,
+    ~2-14 us depending on strip width — scripts/bench_ao_r5.py and the
+    round-5 synthetic sweep: R=9216 dependent-gather walks sped up 25% at
+    unroll=4); checking the cond every `unroll` steps costs at most
+    unroll-1 wasted lockstep steps per strip.  Production strips are wide
+    enough to be compute-bound, so this stays 1 unless a sweep says
+    otherwise.
 
     Per-ray stack = two (R, depth) int32 arrays updated with lane-mask selects
     (no per-lane scatters; depth is small and static).  Entry A packs
@@ -628,311 +631,6 @@ def _trace8_packet_phased(
     return jax.lax.cond(overflow, fallback, lambda _: out, None)
 
 
-def _trace8_subpacket(
-    rows,  # (N, 128) BVH8 table (ops/bvh8.py layout)
-    root: int,
-    depth: int,
-    origin,  # (R, 3), R = M * K, rays sub-packet-consecutive (ray = m*K + k)
-    direction,
-    tmin,  # (R,)
-    tmax,  # (R,)
-    anyhit: bool,
-    hit_filter,
-    max_steps: int,
-    k_rays: int = 8,
-    leaf_max: int = 8,
-    init_state=None,
-    return_state: bool = False,
-):
-    """SUB-packet traversal: K < 128 rays share one BVH8 walk, laid out with
-    the K rays of a sub-packet on the SUBLANE axis and the M = R/K sub-packets
-    on the LANE axis — every slab/triangle test is a dense (K, M) VPU op (for
-    K = 8 exactly one (8, 128)-tile per 128 sub-packets, zero padding).
-
-    This sits between the per-ray path (_trace8: R gathers/step, minimal walk
-    lengths) and the 128-wide packet path (_trace8_packet: R/128 gathers/step,
-    union walk lengths): R/K gathers per step at union-of-K walk lengths.
-    Sweet spot measured by scripts/sim_packet_union.py on the real 1080p
-    wavefronts.  Same per-ray state/retire semantics as _trace8_packet."""
-    k = k_rays
-    r = origin.shape[0]
-    m = r // k
-
-    def km(a):  # (R,) ray-major -> (K, M) sublane-major
-        return a.reshape(m, k).T
-
-    d3 = direction
-    safe_d = jnp.where(jnp.abs(d3) < 1e-12,
-                       jnp.where(d3 >= 0, 1e-12, -1e-12), d3)
-    inv = 1.0 / safe_d
-    ox, oy, oz = km(origin[:, 0]), km(origin[:, 1]), km(origin[:, 2])
-    ix, iy, iz = km(inv[:, 0]), km(inv[:, 1]), km(inv[:, 2])
-    dx, dy, dz = km(d3[:, 0]), km(d3[:, 1]), km(d3[:, 2])
-    tmin2 = km(tmin)
-    tmax2 = km(tmax)
-    oct_ = ray_octants(d3.reshape(m, k, 3)[:, 0, :])  # (M,) first-ray octant
-    slots8 = jnp.arange(8, dtype=jnp.int32)
-    lane = jnp.arange(depth, dtype=jnp.int32)[:, None]  # (D, 1)
-
-    def first_slot(mask):
-        bits = (mask[:, None] >> (slots8[None, :] ^ oct_[:, None])) & 1
-        kk = jnp.argmax(bits, axis=-1).astype(jnp.int32)
-        slot = kk ^ oct_
-        return slot, mask & ~(1 << slot)
-
-    def cond(state):
-        node = state[0]
-        steps = state[-1]
-        return jnp.any(node >= 0) & (steps < max_steps)
-
-    def body(state):
-        node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps = state
-        live = node >= 0  # (M,)
-        row = rows[jnp.maximum(node, 0)]  # (M, 128) — THE gather (one/sub-packet)
-        is_leaf = row[:, 127] > 0.5
-        if anyhit:
-            ray_active = tri_best < 0
-        else:
-            ray_active = jnp.ones_like(tri_best, dtype=bool)
-        ray_active &= tmax2 >= tmin2  # dead rays never participate
-
-        # -- internal: 8 child boxes vs all K rays (ops on (K, M)) -----------
-        mask = jnp.zeros((m,), jnp.int32)
-        for s in range(8):
-            lox, loy, loz = row[:, s], row[:, 8 + s], row[:, 16 + s]
-            hix, hiy, hiz = row[:, 24 + s], row[:, 32 + s], row[:, 40 + s]
-            t0x = (lox[None, :] - ox) * ix
-            t1x = (hix[None, :] - ox) * ix
-            t0y = (loy[None, :] - oy) * iy
-            t1y = (hiy[None, :] - oy) * iy
-            t0z = (loz[None, :] - oz) * iz
-            t1z = (hiz[None, :] - oz) * iz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            hit_s = (jnp.maximum(tn, tmin2) <= jnp.minimum(tf, t_best)) & ray_active
-            any_s = jnp.any(hit_s, axis=0) & (lox <= hix)  # empty-slot guard
-            mask |= jnp.where(any_s, jnp.int32(1) << s, 0)
-        mask = jnp.where(live & ~is_leaf, mask, 0)
-        base = row[:, 48].astype(jnp.int32)
-        offmap = row[:, 49].astype(jnp.int32)
-
-        # -- leaf: leaf_max triangles vs all K rays --------------------------
-        lm = leaf_max
-        leaf_active = is_leaf & live
-        for s in range(lm):
-            v0x, v0y, v0z = (
-                row[:, 0 * lm + s], row[:, 1 * lm + s], row[:, 2 * lm + s]
-            )
-            v1x, v1y, v1z = (
-                row[:, 3 * lm + s], row[:, 4 * lm + s], row[:, 5 * lm + s]
-            )
-            v2x, v2y, v2z = (
-                row[:, 6 * lm + s], row[:, 7 * lm + s], row[:, 8 * lm + s]
-            )
-            e1x = (v1x - v0x)[None, :]
-            e1y = (v1y - v0y)[None, :]
-            e1z = (v1z - v0z)[None, :]
-            e2x = (v2x - v0x)[None, :]
-            e2y = (v2y - v0y)[None, :]
-            e2z = (v2z - v0z)[None, :]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            okd = jnp.abs(det) > 1e-9
-            invdet = 1.0 / jnp.where(okd, det, 1.0)
-            tvx = ox - v0x[None, :]
-            tvy = oy - v0y[None, :]
-            tvz = oz - v0z[None, :]
-            u8 = (tvx * px + tvy * py + tvz * pz) * invdet
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v8 = (dx * qx + dy * qy + dz * qz) * invdet
-            t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
-            tri_s = row[:, 9 * lm + s].astype(jnp.int32)  # (M,)
-            ok = (
-                okd & (u8 >= 0.0) & (v8 >= 0.0) & (u8 + v8 <= 1.0)
-                & (tri_s >= 0)[None, :]
-                & (t8 >= tmin2) & (t8 < t_best)
-                & leaf_active[None, :] & ray_active
-            )
-            if hit_filter is not None:
-                ok &= hit_filter(
-                    jnp.broadcast_to(
-                        jnp.maximum(tri_s, 0)[None, :], (k, m)
-                    ).reshape(-1),
-                    u8.reshape(-1),
-                    v8.reshape(-1),
-                    ok.reshape(-1),
-                ).reshape(k, m)
-            t_best = jnp.where(ok, t8, t_best)
-            tri_best = jnp.where(ok, tri_s[None, :], tri_best)
-            u_best = jnp.where(ok, u8, u_best)
-            v_best = jnp.where(ok, v8, v_best)
-            if anyhit:
-                ray_active &= tri_best < 0
-
-        # -- next node: descend / pop (sub-packet granularity) ---------------
-        slot, remaining = first_slot(mask)
-        descend = live & ~is_leaf & (mask != 0)
-        child = base + ((offmap >> (3 * slot)) & 7)
-        push = descend & (remaining != 0)
-        entry = base * 256 + remaining
-        at_sp = lane == sp[None, :]
-        pushm = at_sp & push[None, :]
-        stack = jnp.where(pushm, entry[None, :], stack)
-        stack_b = jnp.where(pushm, offmap[None, :], stack_b)
-        sp_desc = sp + push.astype(jnp.int32)
-
-        need_pop = live & (is_leaf | (mask == 0))
-        if anyhit:
-            need_pop |= live & ~jnp.any(ray_active, axis=0)
-        can_pop = need_pop & (sp > 0)
-        at_top = lane == (sp - 1)[None, :]
-        top = jnp.sum(jnp.where(at_top, stack, 0), axis=0)
-        top_off = jnp.sum(jnp.where(at_top, stack_b, 0), axis=0)
-        pmask = top & 255
-        pslot, prem = first_slot(pmask)
-        pchild = (top >> 8) + ((top_off >> (3 * pslot)) & 7)
-        new_top = (top & ~jnp.int32(255)) | prem
-        stack = jnp.where(at_top & can_pop[None, :], new_top[None, :], stack)
-        sp = jnp.where(
-            can_pop & (prem == 0), sp - 1, jnp.where(descend, sp_desc, sp)
-        )
-        all_done = jnp.zeros((m,), bool)
-        if anyhit:
-            all_done = live & ~jnp.any(ray_active, axis=0)
-        node = jnp.where(
-            descend & ~all_done, child,
-            jnp.where(can_pop & ~all_done, pchild, jnp.int32(-1)),
-        )
-        node = jnp.where(live, node, -1)
-        return (
-            node, sp, stack, stack_b, t_best, tri_best, u_best, v_best,
-            steps + 1,
-        )
-
-    if init_state is None:
-        init = (
-            jnp.full((m,), root, jnp.int32),
-            jnp.zeros((m,), jnp.int32),
-            jnp.zeros((depth, m), jnp.int32),
-            jnp.zeros((depth, m), jnp.int32),
-            tmax2,
-            jnp.full((k, m), -1, jnp.int32),
-            jnp.zeros((k, m), jnp.float32),
-            jnp.zeros((k, m), jnp.float32),
-            jnp.int32(0),
-        )
-    else:
-        init = init_state[:-1] + (jnp.int32(0),)
-    out = jax.lax.while_loop(cond, body, init)
-    if return_state:
-        return out
-
-    def mk(a):  # (K, M) -> (R,) ray-major
-        return a.T.reshape(r)
-
-    return mk(out[4]), mk(out[5]), mk(out[6]), mk(out[7])
-
-
-def _trace8_subpacket_phased(
-    rows,
-    root: int,
-    depth: int,
-    origin,
-    direction,
-    tmin,
-    tmax,
-    anyhit: bool,
-    hit_filter,
-    max_steps: int,
-    packet_phases=((64, 8),),
-    k_rays: int = 8,
-    leaf_max: int = 8,
-):
-    """_trace8_subpacket with staged compaction at SUB-packet granularity
-    (the _trace8_packet_phased scheme with the (K, M) layout: compaction
-    indexes the lane axis of the (K, M) per-ray state and the (D, M)
-    stacks).  Exactness: overflow of any compaction buffer triggers one
-    full-width re-trace (lax.cond); padding uses out-of-range index +
-    mode='drop' scatters."""
-    k = k_rays
-    r0 = origin.shape[0]
-    m0 = r0 // k
-
-    state = None
-    o_c, d_c, tn_c, tx_c = origin, direction, tmin, tmax
-    overflow = jnp.bool_(False)
-    levels = []  # (idx, (K, cap_prev) t/tri/u/v before compaction)
-    steps_used = 0
-    for p_steps, frac in packet_phases:
-        take = max(0, min(p_steps, max_steps - steps_used))
-        state = _trace8_subpacket(
-            rows, root, depth, o_c, d_c, tn_c, tx_c, anyhit, hit_filter,
-            take, k_rays=k, leaf_max=leaf_max, init_state=state,
-            return_state=True,
-        )
-        steps_used += take
-        m = o_c.shape[0] // k
-        cap = max(8, m // frac)
-        if cap >= m:
-            continue
-        alive = state[0] >= 0
-        overflow |= jnp.sum(alive.astype(jnp.int32)) > cap
-        (idx,) = jnp.nonzero(alive, size=cap, fill_value=m)
-        ok = idx < m
-        safe = jnp.minimum(idx, m - 1)
-        levels.append((idx, state[4], state[5], state[6], state[7]))
-        state = (
-            jnp.where(ok, state[0][safe], -1),
-            state[1][safe],
-            state[2][:, safe],
-            state[3][:, safe],
-            state[4][:, safe],
-            state[5][:, safe],
-            state[6][:, safe],
-            state[7][:, safe],
-            state[8],
-        )
-        pk = lambda a: a.reshape((m, k) + a.shape[1:])[safe].reshape(
-            (cap * k,) + a.shape[1:]
-        )
-        o_c, d_c, tn_c, tx_c = pk(o_c), pk(d_c), pk(tn_c), pk(tx_c)
-
-    state = _trace8_subpacket(
-        rows, root, depth, o_c, d_c, tn_c, tx_c, anyhit, hit_filter,
-        max(0, max_steps - steps_used), k_rays=k, leaf_max=leaf_max,
-        init_state=state, return_state=True,
-    )
-    t, tri, u, v = state[4], state[5], state[6], state[7]  # (K, cap)
-    for idx, t_b, tri_b, u_b, v_b in reversed(levels):
-        t = t_b.at[:, idx].set(t, mode="drop")
-        tri = tri_b.at[:, idx].set(tri, mode="drop")
-        u = u_b.at[:, idx].set(u, mode="drop")
-        v = v_b.at[:, idx].set(v, mode="drop")
-    out = (
-        t.T.reshape(r0), tri.T.reshape(r0), u.T.reshape(r0), v.T.reshape(r0)
-    )
-    if not levels:
-        return out
-
-    def fallback(_):
-        return _trace8_subpacket(
-            rows, root, depth, origin, direction, tmin, tmax, anyhit,
-            hit_filter, max_steps, k_rays=k, leaf_max=leaf_max,
-        )
-
-    return jax.lax.cond(overflow, fallback, lambda _: out, None)
-
-
 def moller_trumbore(v0, v1, v2, origin, direction, eps: float = 1e-9):
     """Batch Möller-Trumbore, no backface culling (Vulkan RT default: the reference
     sets no cull flags).  All args (..., 3); returns (t, u, v, ok)."""
@@ -1058,8 +756,8 @@ def trace(
     Production paths all take a BVH8 (ops/bvh8.py):
       * packets=K groups every K consecutive rays into a (sub-)packet sharing
         one BVH8 walk — K=128 fills the lane axis (_trace8_packet, coherent
-        wavefronts); K<128 puts K rays on sublanes x M sub-packets on lanes
-        (_trace8_subpacket, the AO/reflection sweet spots).
+        wavefronts); K<128 runs the same kernel with a narrower lane axis
+        (padded to 128 lanes — exactness tool, not a production schedule).
       * compact (requires packets): staged compaction at (sub-)packet
         granularity, schedule packet_phases — use when a small tail of
         long-walking packets (grazing rays) would otherwise stretch the
@@ -1128,19 +826,6 @@ def trace(
     def strip_fn(args):
         o, dd, tn, tx = args
         if wide:
-            if packets and packets < 128:
-                # K < 128: sub-packet layout (K on sublanes, M on lanes)
-                if compact:
-                    return _trace8_subpacket_phased(
-                        bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
-                        hit_filter, max_steps, packet_phases=packet_phases,
-                        k_rays=packets, leaf_max=bvh.leaf_max,
-                    )
-                return _trace8_subpacket(
-                    bvh.rows, bvh.root, bvh.depth, o, dd, tn, tx, anyhit,
-                    hit_filter, max_steps, k_rays=packets,
-                    leaf_max=bvh.leaf_max,
-                )
             if packets:
                 if compact:
                     return _trace8_packet_phased(

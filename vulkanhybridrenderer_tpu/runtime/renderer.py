@@ -182,9 +182,13 @@ class Renderer:
                 binary = native_bridge.build_sah_host(np.asarray(tris))
             else:
                 binary = bvh_ops.build(tris, leaf_size=1)
-            self._bvh = bvh8_ops.build_bvh8_host(
-                binary, tris, leaf_max=self.config.bvh_leaf_max
-            )
+            lm = self.config.bvh_leaf_max
+            if lm == 0:  # auto: pick by gather-table VMEM residency
+                self._bvh = bvh8_ops.build_bvh8_auto(binary, tris)
+            else:
+                self._bvh = bvh8_ops.build_bvh8_host(
+                    binary, tris, leaf_max=lm
+                )
         return self._bvh
 
     def _get_shade_tables(self):
