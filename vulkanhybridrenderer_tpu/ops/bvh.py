@@ -348,14 +348,11 @@ def refit(bvh: BVH, tri_verts, max_depth: int = 64) -> BVH:
 def world_triangles(world_pos, tri_vertex):
     """(V, 3) world positions + (T, 3) indices -> (T, 3, 3) triangle vertices.
 
-    Flat 1-D gathers per vertex slot/axis (fast path on TPU)."""
-    cols = [
-        jnp.stack(
-            [world_pos[:, a][tri_vertex[:, s]] for a in range(3)], axis=-1
-        )
-        for s in range(3)
-    ]
-    return jnp.stack(cols, axis=1)
+    ONE (V, 3) row gather at 3T indices — gather cost on TPU is per-index
+    and flat in row width (docs/PERF_STATUS.md rule 2), so this is 3x
+    cheaper than the 9 per-axis flat gathers it replaces."""
+    t = tri_vertex.shape[0]
+    return world_pos[tri_vertex.reshape(-1)].reshape(t, 3, 3)
 
 
 def validate_host(bvh: BVH) -> None:

@@ -148,66 +148,55 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
     count = _subtree_counts(left, right, leaf_tri, order, ls)
 
     def make_bins(n):
-        """Expand the binary subtree under n into up to 8 child bins.
+        """Expand the binary subtree under n into up to 8 child bins
+        (mirrors native/bvh8.cpp pack_roots/make_bins bit-for-bit).
 
         A bin is ("node", binary_node) for subtrees that stay internal
-        (count > leaf_max) or ("leaf", [roots], lo, hi) packing one or more
-        small sibling subtrees (<= leaf_max triangles total) into one full
-        leaf row.  Greedy largest-first expansion + first-fit-decreasing
-        packing keeps leaves near-full, which shrinks the row table."""
+        (count > leaf_max) or ("leaf", [tri ids], lo, hi).  Round 5: all
+        small subtrees (count <= leaf_max) are FLATTENED into one triangle
+        pool (roots order, DFS order within a subtree — spatially coherent)
+        and chunked into ceil(pool / leaf_max) leaf bins; chunking lifts
+        leaf fill from the FFD-of-whole-subtrees ~65-75% to ~ceil-optimal,
+        shrinking the gather table (the VMEM-residency lever).  Expansion
+        is trial-based: split the largest internal root whose replacement
+        still packs into <= 8 bins, else try the next largest."""
 
         def pack(roots):
-            big = [r for r in roots if count[r] > leaf_max]
-            small = sorted(
-                (r for r in roots if count[r] <= leaf_max),
-                key=lambda r: -count[r],
-            )
-            bins = [("node", r) for r in big]
-            packs = []  # [(tris_total, [roots])]
-            for r in small:
-                for p in packs:
-                    if p[0] + count[r] <= leaf_max:
-                        p[0] += count[r]
-                        p[1].append(r)
-                        break
+            bins = []
+            pool = []
+            for r in roots:
+                if count[r] > leaf_max:
+                    bins.append(("node", r))
                 else:
-                    packs.append([count[r], [r]])
-            for _, rs in packs:
-                lo = np.min([amin[r] for r in rs], axis=0)
-                hi = np.max([amax[r] for r in rs], axis=0)
-                bins.append(("leaf", rs, lo, hi))
+                    pool.extend(
+                        _collect_tris(r, left, right, leaf_tri, order, ls)
+                    )
+            for s0 in range(0, len(pool), leaf_max):
+                ids = pool[s0:s0 + leaf_max]
+                v = tris[ids]  # (k, 3, 3)
+                bins.append(
+                    ("leaf", ids, v.min(axis=(0, 1)), v.max(axis=(0, 1)))
+                )
             return bins
 
         roots = [n]
         while True:
-            bins = pack(roots)
-            splittable = [r for r in roots if count[r] > leaf_max]
-            if len(bins) >= 8 or not splittable:
+            cand = sorted(
+                (r for r in roots if count[r] > leaf_max),
+                key=lambda r: -count[r],
+            )
+            accepted = False
+            for r in cand:
+                trial = list(roots)
+                trial.remove(r)
+                trial.append(int(left[r]))
+                trial.append(int(right[r]))
+                if len(pack(trial)) <= 8:
+                    roots = trial
+                    accepted = True
+                    break
+            if not accepted:
                 break
-            r = max(splittable, key=lambda x: count[x])
-            roots.remove(r)
-            roots.append(int(left[r]))
-            roots.append(int(right[r]))
-        # Phase 2 — fill-improving fragmentation (round 5, mirrors
-        # native/bvh8.cpp bit-for-bit): small internal bins (count <=
-        # 4 * leaf_max) split into their binary children whenever the
-        # 8-child arity budget allows, so FFD packs the pieces into FULLER
-        # leaf rows (a 13-triangle subtree as its own node costs 1 internal
-        # + 2 half-empty leaves; fragmented, its halves merge into sibling
-        # packs).  ~15-25% smaller row tables — the VMEM-residency lever.
-        frag_cap = 4 * leaf_max
-        changed = True
-        while changed:
-            changed = False
-            for i, r in enumerate(roots):
-                if leaf_max < count[r] <= frag_cap:
-                    trial = roots[:i] + roots[i + 1:] + [
-                        int(left[r]), int(right[r])
-                    ]
-                    if len(pack(trial)) <= 8:
-                        roots = trial
-                        changed = True
-                        break
         return pack(roots)
 
     def bin_box(b):
@@ -221,16 +210,14 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
     next_row = [1]  # row 0 = root
     root_bnode = int(bvh.root)
     if count[root_bnode] <= leaf_max:
-        pending = [(("leaf", [root_bnode], amin[root_bnode], amax[root_bnode]), 0)]
+        root_ids = _collect_tris(root_bnode, left, right, leaf_tri, order, ls)
+        pending = [(("leaf", root_ids, amin[root_bnode], amax[root_bnode]), 0)]
     else:
         pending = [(("node", root_bnode), 0)]
     while pending:
         b, row = pending.pop()
         if b[0] == "leaf":
-            ids = []
-            for r in b[1]:
-                ids.extend(_collect_tris(r, left, right, leaf_tri, order, ls))
-            rows_meta[row] = ("leaf", ids)
+            rows_meta[row] = ("leaf", b[1])
             continue
         bnode = b[1]
         bins = make_bins(bnode)
@@ -316,11 +303,11 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
     )
 
 
-#: the measured VMEM-residency cliff for the traversal's gather operand
-#: (docs/PERF_STATUS.md rules 2/5: ~3-4.4 ns/idx when the (N, 128) f32 table
-#: fits on-chip vs ~11-12 ns from HBM).  Conservative budget below the 16 MB
-#: VMEM so the frame's other live buffers fit beside the table.
-VMEM_TABLE_BUDGET_BYTES = 14 << 20
+#: the measured VMEM-residency cliff for the traversal's gather operand:
+#: a sharp step between 15 MB (3.86 ns/idx) and 17 MB (5.98) on the v5e
+#: (round-5 cliff-shape sweep over synthetic (N, 128) tables; see
+#: docs/PERF_STATUS.md rules 2/5).  Budget = the last measured-fast size.
+VMEM_TABLE_BUDGET_BYTES = 15 << 20
 
 
 def build_bvh8_auto(bvh, tri_verts, budget: int = VMEM_TABLE_BUDGET_BYTES

@@ -149,16 +149,18 @@ def build_shade_tables(scene) -> ShadeTables:
 
 def make_tri_rows(tables: ShadeTables, scene, world_pos, clip):
     """Per-frame TriRows: gather the dynamic columns at TRIANGLE count (cheap)
-    and concat with the static block.  Runs inside the jitted frame."""
+    and concat with the static block.  Runs inside the jitted frame.
+
+    ONE (V, 4) row gather at 3T indices (positions + clip w fused per
+    vertex) instead of 12 per-column flat gathers — same per-index rule as
+    world_triangles."""
     tv = scene.tri_vertex
-    cols = []
-    for j in range(3):
-        for c in range(3):
-            cols.append(world_pos[:, c][tv[:, j]])
-    w = clip[:, 3]
-    for j in range(3):
-        cols.append(w[tv[:, j]])
-    dyn = jnp.stack(cols, axis=-1)  # (T, 12)
+    t = tv.shape[0]
+    posw = jnp.concatenate([world_pos, clip[:, 3:4]], axis=-1)  # (V, 4)
+    rows = posw[tv.reshape(-1)].reshape(t, 3, 4)
+    dyn = jnp.concatenate(
+        [rows[..., :3].reshape(t, 9), rows[..., 3]], axis=-1
+    )  # (T, 12): v0.xyz v1.xyz v2.xyz, then w per vertex
     return jnp.concatenate([dyn, tables.tri_static], axis=-1)  # (T, 72)
 
 
