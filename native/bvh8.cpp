@@ -22,7 +22,7 @@ constexpr int NF = 128;
 struct Bin {
     bool leaf = false;
     int node = -1;            // internal bin: binary node
-    std::vector<int> tris;    // leaf bin: explicit packed triangle ids
+    std::vector<int> roots;   // leaf bin: packed subtree roots
     float lo[3], hi[3];
 };
 
@@ -86,80 +86,65 @@ void collect_tris(const Ctx& c, int node, std::vector<int>& out) {
     }
 }
 
-// pack roots into <= 8 child bins: subtrees still above leaf_max stay
-// internal bins (roots order); everything else is FLATTENED into one
-// triangle pool and chunked into ceil(pool / leaf_max) leaf bins (round 5:
-// chunking the pool instead of first-fit-decreasing WHOLE subtrees lifts
-// leaf fill from ~65-75% to ~ceil-optimal, shrinking the gather table —
-// the VMEM-residency lever, docs/PERF_STATUS.md rules 2/5).  Pool order =
-// roots order with each subtree's DFS triangle order, so chunks stay
-// spatially coherent.
-std::vector<Bin> pack_roots(const Ctx& c, const std::vector<int>& roots) {
-    std::vector<Bin> bins;
-    std::vector<int> pool;
-    for (int r : roots)
-        if (c.count[r] > c.leaf_max) {
-            Bin b;
-            b.leaf = false;
-            b.node = r;
-            for (int a = 0; a < 3; ++a) {
-                b.lo[a] = c.amin[3 * r + a];
-                b.hi[a] = c.amax[3 * r + a];
-            }
-            bins.push_back(std::move(b));
-        } else {
-            collect_tris(c, r, pool);
-        }
-    for (size_t s0 = 0; s0 < pool.size(); s0 += c.leaf_max) {
-        Bin b;
-        b.leaf = true;
-        size_t s1 = std::min(pool.size(), s0 + (size_t)c.leaf_max);
-        b.tris.assign(pool.begin() + s0, pool.begin() + s1);
-        for (int a = 0; a < 3; ++a) {
-            b.lo[a] = 3.0e38f;
-            b.hi[a] = -3.0e38f;
-        }
-        for (int t : b.tris)
-            for (int corner = 0; corner < 3; ++corner)
-                for (int a = 0; a < 3; ++a) {
-                    float v = c.tris[t * 9 + corner * 3 + a];
-                    b.lo[a] = std::min(b.lo[a], v);
-                    b.hi[a] = std::max(b.hi[a], v);
-                }
-        bins.push_back(std::move(b));
-    }
-    return bins;
-}
-
 std::vector<Bin> make_bins(const Ctx& c, int node) {
-    // Trial-based expansion: split the largest internal root whose
-    // replacement by its two children still packs into <= 8 bins; when the
-    // largest doesn't fit, try the next largest (a smaller subtree may
-    // flatten into the pool without adding bins).  Stops when no candidate
-    // fits the arity budget.
     std::vector<int> roots{node};
     while (true) {
-        std::vector<int> cand;
+        // pack: big bins first (roots order), then FFD leaf packs
+        std::vector<Bin> bins;
+        std::vector<int> small;
         for (int r : roots)
-            if (c.count[r] > c.leaf_max) cand.push_back(r);
-        std::stable_sort(cand.begin(), cand.end(), [&](int a, int b) {
+            if (c.count[r] > c.leaf_max) {
+                Bin b;
+                b.leaf = false;
+                b.node = r;
+                for (int a = 0; a < 3; ++a) {
+                    b.lo[a] = c.amin[3 * r + a];
+                    b.hi[a] = c.amax[3 * r + a];
+                }
+                bins.push_back(std::move(b));
+            } else {
+                small.push_back(r);
+            }
+        std::stable_sort(small.begin(), small.end(), [&](int a, int b) {
             return c.count[a] > c.count[b];
         });
-        bool accepted = false;
-        for (int r : cand) {
-            std::vector<int> trial(roots);
-            trial.erase(std::find(trial.begin(), trial.end(), r));
-            trial.push_back(c.left[r]);
-            trial.push_back(c.right[r]);
-            if ((int)pack_roots(c, trial).size() <= 8) {
-                roots.swap(trial);
-                accepted = true;
-                break;
-            }
+        std::vector<std::pair<int64_t, std::vector<int>>> packs;
+        for (int r : small) {
+            bool placed = false;
+            for (auto& p : packs)
+                if (p.first + c.count[r] <= c.leaf_max) {
+                    p.first += c.count[r];
+                    p.second.push_back(r);
+                    placed = true;
+                    break;
+                }
+            if (!placed) packs.push_back({c.count[r], {r}});
         }
-        if (!accepted) break;
+        for (auto& p : packs) {
+            Bin b;
+            b.leaf = true;
+            b.roots = p.second;
+            for (int a = 0; a < 3; ++a) {
+                b.lo[a] = 3.0e38f;
+                b.hi[a] = -3.0e38f;
+            }
+            for (int r : p.second)
+                for (int a = 0; a < 3; ++a) {
+                    b.lo[a] = std::min(b.lo[a], c.amin[3 * r + a]);
+                    b.hi[a] = std::max(b.hi[a], c.amax[3 * r + a]);
+                }
+            bins.push_back(std::move(b));
+        }
+        // splittable in roots order; expand the FIRST max-count one
+        int best = -1;
+        for (int r : roots)
+            if (c.count[r] > c.leaf_max && (best < 0 || c.count[r] > c.count[best]))
+                best = r;
+        if ((int)bins.size() >= 8 || best < 0) return bins;
+        roots.erase(std::find(roots.begin(), roots.end(), best));
+        roots.push_back(c.left[best]);
+        roots.push_back(c.right[best]);
     }
-    return pack_roots(c, roots);
 }
 
 }  // namespace
@@ -199,7 +184,7 @@ int bvh8_collapse(const float* tris, int t_count,
         Bin b;
         if (c.count[root] <= leaf_max) {
             b.leaf = true;
-            collect_tris(c, root, b.tris);
+            b.roots = {root};
         } else {
             b.leaf = false;
             b.node = root;
@@ -213,7 +198,8 @@ int bvh8_collapse(const float* tris, int t_count,
         max_depth = std::max(max_depth, p.depth);
         float* row = rows + (size_t)p.row * NF;
         if (p.bin.leaf) {
-            const std::vector<int>& ids = p.bin.tris;
+            std::vector<int> ids;
+            for (int r : p.bin.roots) collect_tris(c, r, ids);
             row[127] = 1.0f;
             for (size_t s = 0; s < ids.size() && (int)s < leaf_max; ++s) {
                 int t = ids[s];

@@ -148,56 +148,46 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
     count = _subtree_counts(left, right, leaf_tri, order, ls)
 
     def make_bins(n):
-        """Expand the binary subtree under n into up to 8 child bins
-        (mirrors native/bvh8.cpp pack_roots/make_bins bit-for-bit).
+        """Expand the binary subtree under n into up to 8 child bins.
 
         A bin is ("node", binary_node) for subtrees that stay internal
-        (count > leaf_max) or ("leaf", [tri ids], lo, hi).  Round 5: all
-        small subtrees (count <= leaf_max) are FLATTENED into one triangle
-        pool (roots order, DFS order within a subtree — spatially coherent)
-        and chunked into ceil(pool / leaf_max) leaf bins; chunking lifts
-        leaf fill from the FFD-of-whole-subtrees ~65-75% to ~ceil-optimal,
-        shrinking the gather table (the VMEM-residency lever).  Expansion
-        is trial-based: split the largest internal root whose replacement
-        still packs into <= 8 bins, else try the next largest."""
+        (count > leaf_max) or ("leaf", [roots], lo, hi) packing one or more
+        small sibling subtrees (<= leaf_max triangles total) into one full
+        leaf row.  Greedy largest-first expansion + first-fit-decreasing
+        packing keeps leaves near-full, which shrinks the row table."""
 
         def pack(roots):
-            bins = []
-            pool = []
-            for r in roots:
-                if count[r] > leaf_max:
-                    bins.append(("node", r))
+            big = [r for r in roots if count[r] > leaf_max]
+            small = sorted(
+                (r for r in roots if count[r] <= leaf_max),
+                key=lambda r: -count[r],
+            )
+            bins = [("node", r) for r in big]
+            packs = []  # [(tris_total, [roots])]
+            for r in small:
+                for p in packs:
+                    if p[0] + count[r] <= leaf_max:
+                        p[0] += count[r]
+                        p[1].append(r)
+                        break
                 else:
-                    pool.extend(
-                        _collect_tris(r, left, right, leaf_tri, order, ls)
-                    )
-            for s0 in range(0, len(pool), leaf_max):
-                ids = pool[s0:s0 + leaf_max]
-                v = tris[ids]  # (k, 3, 3)
-                bins.append(
-                    ("leaf", ids, v.min(axis=(0, 1)), v.max(axis=(0, 1)))
-                )
+                    packs.append([count[r], [r]])
+            for _, rs in packs:
+                lo = np.min([amin[r] for r in rs], axis=0)
+                hi = np.max([amax[r] for r in rs], axis=0)
+                bins.append(("leaf", rs, lo, hi))
             return bins
 
         roots = [n]
         while True:
-            cand = sorted(
-                (r for r in roots if count[r] > leaf_max),
-                key=lambda r: -count[r],
-            )
-            accepted = False
-            for r in cand:
-                trial = list(roots)
-                trial.remove(r)
-                trial.append(int(left[r]))
-                trial.append(int(right[r]))
-                if len(pack(trial)) <= 8:
-                    roots = trial
-                    accepted = True
-                    break
-            if not accepted:
-                break
-        return pack(roots)
+            bins = pack(roots)
+            splittable = [r for r in roots if count[r] > leaf_max]
+            if len(bins) >= 8 or not splittable:
+                return bins
+            r = max(splittable, key=lambda x: count[x])
+            roots.remove(r)
+            roots.append(int(left[r]))
+            roots.append(int(right[r]))
 
     def bin_box(b):
         if b[0] == "node":
@@ -210,14 +200,16 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
     next_row = [1]  # row 0 = root
     root_bnode = int(bvh.root)
     if count[root_bnode] <= leaf_max:
-        root_ids = _collect_tris(root_bnode, left, right, leaf_tri, order, ls)
-        pending = [(("leaf", root_ids, amin[root_bnode], amax[root_bnode]), 0)]
+        pending = [(("leaf", [root_bnode], amin[root_bnode], amax[root_bnode]), 0)]
     else:
         pending = [(("node", root_bnode), 0)]
     while pending:
         b, row = pending.pop()
         if b[0] == "leaf":
-            rows_meta[row] = ("leaf", b[1])
+            ids = []
+            for r in b[1]:
+                ids.extend(_collect_tris(r, left, right, leaf_tri, order, ls))
+            rows_meta[row] = ("leaf", ids)
             continue
         bnode = b[1]
         bins = make_bins(bnode)
@@ -314,10 +306,14 @@ def build_bvh8_auto(bvh, tri_verts, budget: int = VMEM_TABLE_BUDGET_BYTES
                     ) -> BVH8:
     """leaf_max auto-selection: leaf-8 rows trace fastest when the table is
     VMEM-resident (fatter leaves only add masked Moller-Trumbore VPU work,
-    measured round 4), but a table past the residency cliff pays ~3x per
-    gather — there the ~25% smaller leaf-12 table wins IF it crosses back
-    under.  Build leaf-8 first; rebuild at 12 only when that rescues
-    residency (e.g. the 254k-triangle realglb asset: 23 MB @8 -> fits @12)."""
+    measured round 4), but a table past the residency cliff pays 1.65x per
+    gather (3.6 -> 6.0 ns/idx measured) — there the ~25% smaller leaf-12
+    table wins IF it crosses back under.  Build leaf-8 first; rebuild at 12
+    only when that rescues residency.  Applies to scenes whose leaf-8 table
+    lands in the ~15-21 MB band (~150-200k triangles); measured examples
+    sit outside it (Sponza 10.5 MB fits @8; realglb 19 MB and Bistro
+    32 MB miss even @12 — scripts/bench_vmem_cliff.py), so those keep
+    leaf-8 and its lower per-leaf-step VPU cost."""
     b8 = build_bvh8_host(bvh, tri_verts, leaf_max=8)
     if b8.num_rows * 512 <= budget:
         return b8

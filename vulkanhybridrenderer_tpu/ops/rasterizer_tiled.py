@@ -684,8 +684,15 @@ def rasterize_alpha_peeled(
         jnp.ones((npx, ntiles_pad), jnp.float32),
         jnp.bool_(True),
     )
-    for k in range(max(1, rounds)):
-        state = round_body(state, first=(k == 0))
+    state = round_body(state, first=True)
+    if rounds > 1:
+        # later rounds as ONE lax.scan body (compile surface: one traced
+        # raster+eval round instead of rounds-1 inlined copies); the
+        # convergence cond inside makes settled rounds ~free at runtime
+        state, _ = jax.lax.scan(
+            lambda st, _: (round_body(st, first=False), None),
+            state, None, length=rounds - 1,
+        )
     _, _, fz, ft, f1, f2, fs, _ = state
 
     def untile(a):
