@@ -139,20 +139,14 @@ def main():
                 tile(shadow_tmax), anyhit=True, strips=16, packets=128,
             ).t.sum()
 
+        # (sub-packet variants removed in round 5 with the kernels —
+        # measured 2-14x losers on every wavefront, docs/PERF_STATUS.md)
         run_cases("shadow", [
             ("prod packets=128 s16", prod_shadow, ()),
             ("K128 8x16 b5x8 s40", one,
              (origin, shadow_dir, shadow_tmax, True, 128, 5, 8, 8, 16)),
             ("K128 8x16 b5x15 s75", one,
              (origin, shadow_dir, shadow_tmax, True, 128, 5, 15, 8, 16)),
-            ("subpkt K8 2x4 b4x8", one,
-             (origin, shadow_dir, shadow_tmax, True, 8, 4, 8, 2, 4)),
-            ("subpkt K16 4x4 b5x8", one,
-             (origin, shadow_dir, shadow_tmax, True, 16, 5, 8, 4, 4)),
-            ("subpkt K16 4x4 b6x16", one,
-             (origin, shadow_dir, shadow_tmax, True, 16, 6, 16, 4, 4)),
-            ("subpkt K32 4x8 b5x8", one,
-             (origin, shadow_dir, shadow_tmax, True, 32, 5, 8, 4, 8)),
         ])
 
     if "ao" in which:
@@ -168,21 +162,21 @@ def main():
                 anyhit=True, strips=128,
             ).t.sum()
 
+        def prod_ao_b15():
+            blk, _, nby, nbx = raygen.padded_block_tiler(h, w, 1, 1,
+                                                         max_blocks=15)
+            return traverse.trace(
+                bvh, tris,
+                jnp.concatenate([blk(origin)] * 2),
+                jnp.concatenate([blk(d) for d in ao_dirs]),
+                raygen.SHADOW_TMIN,
+                jnp.concatenate([blk(ao_tmax, fill=-1.0)] * 2),
+                anyhit=True, strips=2 * nby * nbx,
+            ).t.sum()
+
         run_cases("ao", [
-            ("prod block-major per-ray s128", prod_ao, ()),
-            ("subpkt K4 2x2 b4x8", one,
-             (origin, ao_dirs, ao_tmax, True, 4, 4, 8, 2, 2, None, None, 2)),
-            ("subpkt K4 2x2 b6x16", one,
-             (origin, ao_dirs, ao_tmax, True, 4, 6, 16, 2, 2, None, None, 2)),
-            ("subpkt K8 2x4 b4x8", one,
-             (origin, ao_dirs, ao_tmax, True, 8, 4, 8, 2, 4, None, None, 2)),
-            ("subpkt K8 2x4 b6x16", one,
-             (origin, ao_dirs, ao_tmax, True, 8, 6, 16, 2, 4, None, None, 2)),
-            ("subpkt K16 4x4 b5x8", one,
-             (origin, ao_dirs, ao_tmax, True, 16, 5, 8, 4, 4, None, None, 2)),
-            ("subpkt K8 ph s2 (40,4)(40,16)", one,
-             (origin, ao_dirs, ao_tmax, True, 8, 4, 8, 2, 4, 2,
-              ((40, 4), (40, 16)), 2)),
+            ("prod per-ray b15 adaptive", prod_ao_b15, ()),
+            ("r3-style block-major s128", prod_ao, ()),
         ])
 
     if "refl" in which:
@@ -198,17 +192,6 @@ def main():
 
         run_cases("refl", [
             ("prod packets=128 phased", prod_refl, ()),
-            ("subpkt K8 2x4 b4x8", one,
-             (origin, r_dir, refl_tmax, False, 8, 4, 8, 2, 4)),
-            ("subpkt K16 4x4 b5x8", one,
-             (origin, r_dir, refl_tmax, False, 16, 5, 8, 4, 4)),
-            ("subpkt K16 4x4 b6x16", one,
-             (origin, r_dir, refl_tmax, False, 16, 6, 16, 4, 4)),
-            ("subpkt K32 4x8 b5x8", one,
-             (origin, r_dir, refl_tmax, False, 32, 5, 8, 4, 8)),
-            ("subpkt K16 ph s1 (64,4)(96,16)", one,
-             (origin, r_dir, refl_tmax, False, 16, 5, 8, 4, 4, 1,
-              ((64, 4), (96, 16)))),
         ])
 
 
