@@ -57,6 +57,11 @@ class PerFrameData:
     display_size: Any  # (2,) f32 (w, h)
     display_size_inverse: Any  # (2,) f32
     frame_index: Any  # () uint32
+    #: cycling blue-noise texture index (glsl_common.h:71; the reference
+    #: cycles 0..3 per frame, renderer.cpp:32-36 — and, like here, no shader
+    #: of any render path samples it; the textures ride along for parity and
+    #: for user pipelines, Renderer.blue_noise)
+    blue_noise_index: Any = None  # () uint32
 
     @property
     def camera_position(self):
@@ -221,4 +226,7 @@ def make_per_frame_data(
         display_size=jnp.array([width, height], jnp.float32),
         display_size_inverse=jnp.array([1.0 / width, 1.0 / height], jnp.float32),
         frame_index=jnp.asarray(frame_index, jnp.uint32),
+        # the reference cycles its 4 blue-noise textures by frame
+        # (renderer.cpp:200: frame_index % 4)
+        blue_noise_index=jnp.asarray(frame_index % 4, jnp.uint32),
     )

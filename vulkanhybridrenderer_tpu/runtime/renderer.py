@@ -237,6 +237,25 @@ class Renderer:
             and self.config.hybrid.shadow_mode == ShadowMode.RAYTRACED
         )
 
+    @property
+    def blue_noise(self):
+        """(4, 128, 128, 4) blue-noise texture stack, generated once per
+        renderer (the reference uploads 4 prebaked LDR_RGBA PNGs at startup,
+        renderer.cpp:32-36, and exposes the cycling index through
+        PerFrameData.blue_noise_texture_index; like the reference, no
+        built-in shader samples it — it rides along for user pipelines)."""
+        if getattr(self, "_blue_noise", None) is None:
+            import numpy as np
+
+            from vulkanhybridrenderer_tpu.utils.bluenoise import (
+                blue_noise_rgba,
+            )
+
+            self._blue_noise = jnp.asarray(
+                np.stack([blue_noise_rgba(128, seed=i) for i in range(4)])
+            )
+        return self._blue_noise
+
     def _resources(self, pfd):
         res = {
             "scene": self.scene.buffers,
@@ -245,6 +264,7 @@ class Renderer:
             "temporal_state": self.temporal_state,
             "bvh": self._get_bvh(),
             "shade_tables": self._get_shade_tables(),
+            "blue_noise": self.blue_noise,
         }
         if self._uses_shadow_grid():
             res["shadow_grid"] = self._get_shadow_grid()
