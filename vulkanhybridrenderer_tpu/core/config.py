@@ -122,10 +122,17 @@ class RenderConfig:
     #: alpha-masked geometry in raster passes (gbuf.frag:22-32 parity):
     #: "brute" = per-fragment alpha kill — the binned path serves it with the
     #: depth-peeling subset raster (ops/rasterizer_tiled.rasterize_alpha_
-    #: peeled, ~tens of ms), the reference rasterizer with exact per-fragment
-    #: taps; "off" = skip masked triangles in raster passes entirely (they
-    #: remain in the BVH for RT effects)
+    #: peeled), the reference rasterizer with exact per-fragment taps;
+    #: "off" = skip masked triangles in raster passes entirely (they remain
+    #: in the BVH for RT effects)
     alpha_raster: str = "brute"
+    #: depth-peel rounds for the binned alpha raster = max consecutive
+    #: REJECTED masked fragments resolved per pixel (measured Sponza 1080p,
+    #: 288 masked tris: rounds 1/2/4 = 21.7/36.0/162.2 ms — each live round
+    #: pays a full-image alpha eval + subset re-raster; converged rounds are
+    #: lax.cond-skipped).  4 covers all bundled scenes; drop to 2-3 to trade
+    #: deep-stacked-foliage exactness for ~60-120 ms at 1080p.
+    alpha_peel_rounds: int = 4
     shadow_map_size: int = 4096  # hybrid depth prepass target (hybrid_render_path.cpp)
     #: acceleration structure for RT shadow rays (TPU-native extension; the
     #: reference has only the hardware BVH): "bvh8" = the BVH8 packet

@@ -36,7 +36,7 @@ def rasterize_for_path(scene, clip, width, height, config, alpha: bool = True,
             )
         return rasterizer_tiled.rasterize_scene(
             scene, clip, width, height, alpha=alpha, cull_backface=cull,
-            tables=tables,
+            tables=tables, alpha_rounds=config.alpha_peel_rounds,
         )
     setup = rasterizer.triangle_setup(clip, scene.tri_vertex, width, height)
     mask_fn = (

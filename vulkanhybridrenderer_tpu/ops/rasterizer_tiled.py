@@ -739,6 +739,7 @@ def rasterize_scene(
     alpha: bool = True,
     cull_backface: bool = True,
     tables=None,
+    alpha_rounds: int = 4,
 ) -> VisibilityBuffer:
     """Full-scene visibility buffer via the binned Pallas kernel.
 
@@ -799,8 +800,9 @@ def rasterize_scene(
 
             tables = _shadetab.build_shade_tables(scene)
         vis_m, overflow_m = rasterize_alpha_peeled(
-            scene, setup, width, height, tables, interpret=interpret,
-            cull_backface=cull_backface, tile_h=tile_h, tile_w=tile_w,
+            scene, setup, width, height, tables, rounds=alpha_rounds,
+            interpret=interpret, cull_backface=cull_backface, tile_h=tile_h,
+            tile_w=tile_w,
         )
         vis = merge_visibility(vis, vis_m)
         # poison AFTER the merge: a NaN depth inside merge_visibility's >=
