@@ -37,9 +37,12 @@ against every pixel -- O(T * P) makes 1080p x 200k-triangle scenes impossible at
      reductions extract the max-depth winner (tri id, l1, l2, and the 1/w sum
      for perspective-correct weights) per pixel.
 
-Alpha-masked geometry is *excluded* from the binned pass (its per-fragment texture
-kill needs atlas gathers) and rasterized by the caller via the reference path over
-the (few) masked triangles, then merged with `merge_visibility`.
+Alpha-masked geometry is *excluded* from the opaque binned pass (its
+per-fragment texture kill needs atlas gathers, impossible in-kernel) and
+rendered by `rasterize_alpha_peeled`: a binned DEPTH-PEELING raster of the
+masked subset whose per-pixel winners are alpha-tested through the fused
+shade tables between rounds, with a (z, id) peel bound as a tile-kernel
+input; the result merges via `merge_visibility`.
 
 Tie-break parity: within a tile, equal-depth coverage resolves to the largest
 triangle id of the tie (the brute rasterizer resolves to the *last submitted*);
@@ -589,6 +592,7 @@ def rasterize_alpha_peeled(
     cull_backface: bool = True,
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
+    unroll_rounds: bool = True,
 ):
     """Binned raster of the alpha-MASK triangle subset with per-fragment alpha
     kill (gbuf.frag:22-32 semantics) via DEPTH PEELING.
@@ -686,13 +690,17 @@ def rasterize_alpha_peeled(
     )
     state = round_body(state, first=True)
     if rounds > 1:
-        # later rounds as ONE lax.scan body (compile surface: one traced
-        # raster+eval round instead of rounds-1 inlined copies); the
-        # convergence cond inside makes settled rounds ~free at runtime
-        state, _ = jax.lax.scan(
-            lambda st, _: (round_body(st, first=False), None),
-            state, None, length=rounds - 1,
-        )
+        # unrolled rounds measured faster than a lax.scan body on the v5e
+        # (rounds=4: 130.6 vs 163.2 ms live) at a modest compile-surface
+        # cost; unroll_rounds=False keeps the scan for compile-bound uses
+        if unroll_rounds:
+            for _ in range(rounds - 1):
+                state = round_body(state, first=False)
+        else:
+            state, _ = jax.lax.scan(
+                lambda st, _: (round_body(st, first=False), None),
+                state, None, length=rounds - 1,
+            )
     _, _, fz, ft, f1, f2, fs, _ = state
 
     def untile(a):
