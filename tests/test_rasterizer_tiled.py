@@ -96,6 +96,28 @@ def _stacked_leaves_scene(n_layers=3):
     return b.build("StackedLeaves", cam, light)
 
 
+def test_alpha_peel_rounds_knob():
+    """alpha_rounds threads through rasterize_scene: a single-layer masked
+    scene resolves identically at any round count (later rounds converge),
+    and rounds=1 on the 3-layer scene differs (the bound is real)."""
+    sc1 = procedural.checker_quad(alpha_leaf=True)
+    w = h = 64
+    clip, _ = _clip_setup(sc1, w, h)
+    a = rt.rasterize_scene(sc1.buffers, clip, w, h, interpret=True,
+                           alpha_rounds=1)
+    b = rt.rasterize_scene(sc1.buffers, clip, w, h, interpret=True,
+                           alpha_rounds=4)
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+
+    sc3 = _stacked_leaves_scene(3)
+    clip3, _ = _clip_setup(sc3, 96, 96)
+    a3 = rt.rasterize_scene(sc3.buffers, clip3, 96, 96, interpret=True,
+                            alpha_rounds=1)
+    b3 = rt.rasterize_scene(sc3.buffers, clip3, 96, 96, interpret=True,
+                            alpha_rounds=4)
+    assert (np.asarray(a3.tri_id) != np.asarray(b3.tri_id)).any()
+
+
 def test_alpha_peel_multilayer_matches_brute():
     """Stacked rejected masked fragments: the peel must surface the deepest
     PASSING fragment per pixel exactly as the brute per-fragment kill does
