@@ -139,3 +139,23 @@ def test_hybrid_full_everything():
     img, r = _render(sc, hs, frames=2)
     assert np.isfinite(img).all()
     assert img[:3].max() > 0.05
+
+
+def test_per_pass_dispatch_matches_fused():
+    """dispatch="per_pass" (one jitted call per pass — the seconds-not-
+    minutes pipeline-build mode, runtime/renderer._run_per_pass) must
+    produce the fused frame, including temporal-state carry across frames
+    (SVGF history flows through the per-pass resource dict)."""
+    sc = procedural.cornell_box()
+    hs = HybridSettings(
+        shadow_mode=ShadowMode.RAYTRACED,
+        ao_mode=AmbientOcclusionMode.RAYTRACED,
+        denoise=True,
+    )
+    ra = Renderer(sc, _cfg(hs), path="hybrid")
+    rb = Renderer(sc, _cfg(hs), path="hybrid", dispatch="per_pass")
+    for _ in range(2):
+        img_a = np.asarray(ra.render_frame())
+        img_b = np.asarray(rb.render_frame())
+    # fusion changes FP contraction; values must agree to float tolerance
+    np.testing.assert_allclose(img_a, img_b, atol=2e-5, rtol=1e-5)

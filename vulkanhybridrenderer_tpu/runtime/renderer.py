@@ -44,9 +44,16 @@ def _encode_srgb8(planar):
 
 class Renderer:
     def __init__(self, scene: Scene, config: RenderConfig | None = None,
-                 path: str = "hybrid", mesh=None):
+                 path: str = "hybrid", mesh=None, dispatch: str = "fused"):
         """mesh: optional jax.sharding.Mesh -- shards the frame's pixel rows across
-        devices (parallel/mesh.py); None = single device like the reference."""
+        devices (parallel/mesh.py); None = single device like the reference.
+
+        dispatch: "fused" (default) compiles the whole graph into ONE XLA
+        program — fastest frames, minutes of first-compile at 1080p;
+        "per_pass" jits each pass separately — ~6% slower frames, but
+        pipeline (re)builds drop from minutes to seconds (see
+        _run_per_pass), the right mode for interactive viewer sessions
+        with live mode switching."""
         from vulkanhybridrenderer_tpu.utils.compile_cache import (
             enable_compile_cache,
         )
@@ -70,11 +77,15 @@ class Renderer:
                 "forward msaa_mode='coverage' is single-device; use "
                 "msaa_mode='supersample' on a mesh"
             )
+        if dispatch not in ("fused", "per_pass"):
+            raise ValueError(f"dispatch={dispatch!r}: 'fused' or 'per_pass'")
+        self.dispatch = dispatch
         self.stats = PassStats()
         self.frame_index = 0
         self._prev_view: np.ndarray | None = None
         self._prev_proj: np.ndarray | None = None
         self._frame_fns: dict[Any, Any] = {}
+        self._pass_fns: dict[Any, dict] = {}
         self._graphs: dict[Any, Any] = {}
         self.temporal_state = make_temporal_state(*self._temporal_dims())
         self.prim_transform = scene.buffers.prim_transform
@@ -316,27 +327,65 @@ class Renderer:
         srgb8=True instead returns the (H, W, 4) uint8 sRGB swapchain image
         (the reference presents B8G8R8A8_SRGB, vulkan_context.cpp:309-369) --
         encoded on-device, so host readback moves 4x fewer bytes."""
-        fn, path = self._get_frame_fn()
         pfd = self._make_pfd()
         if not self._binning_checked:
             self._binning_checked = True
             self.check_binning(pfd)
         t0 = time.perf_counter()
         res = self._resources(pfd)
-        if path.uses_temporal_state:
-            ts = res.pop("temporal_state")
-            out = fn(res, ts)
+        if self.dispatch == "per_pass":
+            out = self._run_per_pass(res)
+            path = get_path(self.path_name, self.config)
+            uses_ts = path.uses_temporal_state
         else:
-            out = fn(res)
+            fn, path = self._get_frame_fn()
+            uses_ts = path.uses_temporal_state
+            if uses_ts:
+                ts = res.pop("temporal_state")
+                out = fn(res, ts)
+            else:
+                out = fn(res)
         if sync:
             jax.block_until_ready(out)
             self.stats.update_frame((time.perf_counter() - t0) * 1e3)
-        if path.uses_temporal_state:
+        if uses_ts:
             self.temporal_state = out["TemporalStateOut"]
         self.frame_index += 1
         if srgb8:
             return _encode_srgb8(out[RENDER_OUTPUT])
         return out[RENDER_OUTPUT]
+
+    def _run_per_pass(self, res):
+        """dispatch="per_pass": execute the graph as one jitted call PER PASS
+        instead of one fused frame function.
+
+        The fused frame costs minutes of whole-graph XLA optimization on
+        first compile (full hybrid 1080p: 200-545 s) while its individual
+        passes compile in SECONDS each (scripts/bench_compile.py: traces
+        4-8 s, binned raster 29.7, SVGF 7.8) — so this mode trades ~6%
+        frame time (lost cross-pass fusion; measured pass-sum 1058 vs
+        fused 999 ms on full sponza) for pipeline-build latency much
+        closer to the reference's millisecond rebuilds
+        (hybrid_render_path.cpp Build/Rebuild).  Mode switches win twice:
+        passes shared with the previous mode produce byte-identical
+        per-pass HLO, so the persistent compilation cache
+        (utils/compile_cache.py) serves them in seconds."""
+        key = self._key()
+        self._get_graph()
+        graph = self._graphs[key]
+        fns = self._pass_fns.setdefault(key, {})
+        for name in graph.find_execution_order():
+            p = graph.passes[name]
+            if name not in fns:
+                fns[name] = jax.jit(p.fn)
+            produced = fns[name](res)
+            res.update({k: produced[k] for k in p.outputs})
+        return res
+
+    def _get_graph(self):
+        """Ensure the active config's graph exists (builds the fused frame fn
+        as a side effect; per-pass dispatch only needs the graph object)."""
+        self._get_frame_fn()
 
     def update_camera(self, dt, keys=frozenset(), mouse_delta=(0.0, 0.0),
                       mouse_down=False):
