@@ -159,3 +159,24 @@ def test_per_pass_dispatch_matches_fused():
         img_b = np.asarray(rb.render_frame())
     # fusion changes FP contraction; values must agree to float tolerance
     np.testing.assert_allclose(img_a, img_b, atol=2e-5, rtol=1e-5)
+
+
+def test_precompile_passes_aot():
+    """precompile_passes AOT-builds one executable per graph pass (used by
+    per-pass dispatch's auto_precompile); the compiled path must produce
+    the same frame as the lazy per-pass jits."""
+    sc = procedural.cornell_box()
+    hs = HybridSettings(shadow_mode=ShadowMode.RAYTRACED, denoise=True)
+    ra = Renderer(sc, _cfg(hs), path="hybrid", dispatch="per_pass",
+                  auto_precompile=False)
+    rb = Renderer(sc, _cfg(hs), path="hybrid", dispatch="per_pass")
+    times = rb.precompile_passes()
+    graph_passes = rb._graphs[rb._key()].find_execution_order()
+    assert set(graph_passes) <= set(times)
+    assert rb._pass_compiled[rb._key()].keys() == set(graph_passes)
+    for _ in range(2):
+        img_a = np.asarray(ra.render_frame())
+        img_b = np.asarray(rb.render_frame())
+    np.testing.assert_allclose(img_a, img_b, atol=2e-5, rtol=1e-5)
+    # the AOT executables survived the frame loop (no aval-drift fallback)
+    assert rb._pass_compiled[rb._key()].keys() == set(graph_passes)

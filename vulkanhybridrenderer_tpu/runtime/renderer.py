@@ -44,7 +44,8 @@ def _encode_srgb8(planar):
 
 class Renderer:
     def __init__(self, scene: Scene, config: RenderConfig | None = None,
-                 path: str = "hybrid", mesh=None, dispatch: str = "fused"):
+                 path: str = "hybrid", mesh=None, dispatch: str = "fused",
+                 auto_precompile: bool = True):
         """mesh: optional jax.sharding.Mesh -- shards the frame's pixel rows across
         devices (parallel/mesh.py); None = single device like the reference.
 
@@ -53,7 +54,12 @@ class Renderer:
         "per_pass" jits each pass separately — ~6% slower frames, but
         pipeline (re)builds drop from minutes to seconds (see
         _run_per_pass), the right mode for interactive viewer sessions
-        with live mode switching."""
+        with live mode switching.
+
+        auto_precompile: in per_pass mode, AOT-compile all passes of a new
+        mode tuple CONCURRENTLY on first use (precompile_passes) instead of
+        lazily one-by-one — the cold pipeline build drops from the SUM of
+        per-pass compiles to ~the max."""
         from vulkanhybridrenderer_tpu.utils.compile_cache import (
             enable_compile_cache,
         )
@@ -80,12 +86,14 @@ class Renderer:
         if dispatch not in ("fused", "per_pass"):
             raise ValueError(f"dispatch={dispatch!r}: 'fused' or 'per_pass'")
         self.dispatch = dispatch
+        self.auto_precompile = auto_precompile
         self.stats = PassStats()
         self.frame_index = 0
         self._prev_view: np.ndarray | None = None
         self._prev_proj: np.ndarray | None = None
         self._frame_fns: dict[Any, Any] = {}
         self._pass_fns: dict[Any, dict] = {}
+        self._pass_compiled: dict[Any, dict] = {}
         self._graphs: dict[Any, Any] = {}
         self.temporal_state = make_temporal_state(*self._temporal_dims())
         self.prim_transform = scene.buffers.prim_transform
@@ -373,14 +381,78 @@ class Renderer:
         key = self._key()
         self._get_graph()
         graph = self._graphs[key]
+        if self.auto_precompile and key not in self._pass_compiled:
+            try:
+                self.precompile_passes()
+            except Exception:
+                # AOT path is an optimization only: any lowering/compile
+                # surprise falls back to the lazy per-pass jits below
+                self._pass_compiled[key] = {}
+        compiled = self._pass_compiled.get(key, {})
         fns = self._pass_fns.setdefault(key, {})
         for name in graph.find_execution_order():
             p = graph.passes[name]
-            if name not in fns:
-                fns[name] = jax.jit(p.fn)
-            produced = fns[name](res)
+            exe = compiled.get(name)
+            produced = None
+            if exe is not None:
+                try:
+                    produced = exe(res)
+                except Exception:
+                    compiled.pop(name, None)  # aval drift: re-jit lazily
+            if produced is None:
+                if name not in fns:
+                    fns[name] = jax.jit(p.fn)
+                produced = fns[name](res)
             res.update({k: produced[k] for k in p.outputs})
         return res
+
+    def precompile_passes(self, max_workers: int | None = None) -> dict[str, float]:
+        """AOT-build every pass executable of the active (path, config)
+        CONCURRENTLY; per-pass dispatch then calls the compiled executables
+        directly.
+
+        The fused frame pays minutes of whole-graph XLA optimization while
+        its passes compile in seconds each (docs/PERF_STATUS.md compile
+        attribution), but the lazy per-pass path still compiles them
+        SEQUENTIALLY — a cold pipeline build costs the sum.  Here each pass
+        is traced once in dependency order (downstream input shapes come
+        from Lowered.out_info, no execution), then all passes compile on a
+        thread pool, so a cold build costs ~the slowest pass plus tracing.
+        Returns per-pass compile seconds (plus __trace_s__/__wall_s__)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        key = self._key()
+        self._get_graph()
+        graph = self._graphs[key]
+        # tracing must not perturb the frame loop's prev-frame matrices
+        prev = (self._prev_view, self._prev_proj)
+        pfd = self._make_pfd()
+        self._prev_view, self._prev_proj = prev
+        res_ab: dict = dict(self._resources(pfd))
+        order = graph.find_execution_order()
+        t0 = time.perf_counter()
+        lowered: dict[str, Any] = {}
+        for name in order:
+            p = graph.passes[name]
+            low = jax.jit(p.fn).lower(res_ab)
+            lowered[name] = low
+            out_info = low.out_info
+            res_ab.update({k: out_info[k] for k in p.outputs})
+        trace_s = time.perf_counter() - t0
+
+        def compile_one(low):
+            t = time.perf_counter()
+            return low.compile(), time.perf_counter() - t
+
+        workers = max_workers or min(8, max(1, len(order)))
+        with ThreadPoolExecutor(workers) as ex:
+            futs = {n: ex.submit(compile_one, lo) for n, lo in lowered.items()}
+            results = {n: f.result() for n, f in futs.items()}
+        self._pass_compiled[key] = {n: c for n, (c, _) in results.items()}
+        times = {n: s for n, (_, s) in results.items()}
+        times["__trace_s__"] = trace_s
+        times["__wall_s__"] = time.perf_counter() - t0
+        return times
 
     def _get_graph(self):
         """Ensure the active config's graph exists (builds the fused frame fn
