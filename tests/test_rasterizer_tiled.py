@@ -228,3 +228,45 @@ def test_overflow_poisons_depth(monkeypatch):
     monkeypatch.setattr(rt, "default_e_cap", lambda t, npix: 8)
     bad = rt.rasterize_scene(sc.buffers, clip, w, h, interpret=True)
     assert np.isnan(np.asarray(bad.depth)).all()
+
+
+def test_alpha_peel_compact_tiles_matches_full():
+    """Tile-compacted peel rounds (rounds 2+ raster only the tiles whose
+    previous winner was killed, via the remapped kernel) must be
+    bit-identical to the full-width rounds, including the cap-overflow
+    fallback.  The image is tall enough (ntiles_pad > l_cap) that the
+    compact path actually engages."""
+    from vulkanhybridrenderer_tpu.ops import shadetab
+
+    sc = _stacked_leaves_scene(3)
+    w, h = 256, 520  # ntiles = 2*65 = 130 -> ntiles_pad 256 > l_cap 128
+    clip, setup = _clip_setup(sc, w, h)
+    tables = shadetab.build_shade_tables(sc.buffers)
+
+    def peel(**kw):
+        vis, _ = rt.rasterize_alpha_peeled(
+            sc.buffers, setup, w, h, tables, rounds=4, interpret=True, **kw
+        )
+        return vis
+
+    full = peel(compact_tiles=False)
+    compact = peel(live_tile_cap=128)
+    np.testing.assert_array_equal(
+        np.asarray(full.tri_id), np.asarray(compact.tri_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.depth), np.asarray(compact.depth)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.bary), np.asarray(compact.bary)
+    )
+    # at least one masked fragment actually resolved (peel did work)
+    masked = set(np.asarray(sc.buffers.alpha_tri_idx).tolist())
+    assert masked & set(np.unique(np.asarray(compact.tri_id)).tolist())
+
+    # overflow fallbacks (tiles and blocks) stay exact
+    for kw in ({"live_tile_cap": 128, "sub_block_cap": 2},):
+        ovf = peel(**kw)
+        np.testing.assert_array_equal(
+            np.asarray(full.tri_id), np.asarray(ovf.tri_id)
+        )

@@ -298,6 +298,11 @@ def _raster_kernel(
     # offsets_ref  (ntiles_pad + 1,) SMEM (CHUNK-aligned starts)
     # counts_ref   (ntiles_pad,) SMEM (true entry counts)
     # ctile_ref    (nblocks,) SMEM (owning tile per block)
+    # [tileid_ref  (ntiles_pad,) SMEM, only when remap: PHYSICAL screen tile
+    #   per (compact) tile index — pixel coords come from the physical tile
+    #   while entry ranges / output columns stay compact.  Lets the
+    #   alpha-peel rounds raster only the tiles that still have killed
+    #   pixels (a compacted tile list) instead of the whole screen.]
     # entry_hbm    (nblocks, 16, CHUNK) ANY/HBM
     # [zcap_ref, captid_ref]  ((npx, TILES_PER_PROG) VMEM, only when use_zcap:
     #   per-pixel depth-peel bound — a fragment is covered only when
@@ -313,6 +318,7 @@ def _raster_kernel(
     ntx: int,
     ntiles: int,
     use_zcap: bool = False,
+    remap: bool = False,
 ):
     """Flat-stream formulation: one fori_loop over this program's entry BLOCKS
     (not per-tile loops -- per-tile setup cost dominated the previous design).
@@ -321,13 +327,17 @@ def _raster_kernel(
     into the owning tile's output column.  Pixels on sublanes, triangles on lanes:
     zero relayouts.  (Arbitrary-span triangles get exact per-tile entries from
     the compact binning enumeration -- there is no separate "big" list.)"""
+    refs = list(refs)
+    offsets_ref, counts_ref, ctile_ref = refs[:3]
+    del refs[:3]
+    tileid_ref = refs.pop(0) if remap else None
+    entry_hbm = refs.pop(0)
     if use_zcap:
-        (offsets_ref, counts_ref, ctile_ref, entry_hbm, zcap_ref, captid_ref,
-         depth_out, tri_out, b1_out, b2_out, bs_out, chunk_vmem, sem) = refs
+        zcap_ref, captid_ref = refs[:2]
+        del refs[:2]
     else:
-        (offsets_ref, counts_ref, ctile_ref, entry_hbm,
-         depth_out, tri_out, b1_out, b2_out, bs_out, chunk_vmem, sem) = refs
         zcap_ref = captid_ref = None
+    (depth_out, tri_out, b1_out, b2_out, bs_out, chunk_vmem, sem) = refs
     j = pl.program_id(0)
     npx = tile_h * tile_w
     flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
@@ -440,7 +450,9 @@ def _raster_kernel(
             bc = jnp.minimum(b, blk1 - 1)  # clamp for scalar reads when OOB
             tile = ctile_ref[bc]
             col = tile - j * TILES_PER_PROG
-            pxg, pyg = tile_coords(tile)
+            # remap: `tile` indexes a COMPACT tile list (entry ranges /
+            # output columns); pixel coords come from the physical tile
+            pxg, pyg = tile_coords(tileid_ref[tile] if remap else tile)
             n_valid = jnp.where(
                 k < nblk, counts_ref[tile] + offsets_ref[tile] - bc * CHUNK, 0
             )
@@ -497,18 +509,30 @@ def rasterize_binned(
     z_cap=None,
     tid_cap=None,
     tiled: bool = False,
+    tile_ids=None,
 ):
     """Run the tile kernel over `bins`.
 
     z_cap/tid_cap: optional (npx, ntiles_pad) per-pixel depth-peel bounds
     (see _raster_kernel).  tiled=True returns the raw tile-major
     (depth, tri, b1, b2, bs) arrays — the alpha-peel loop stays in tile
-    space between rounds; default returns an untiled VisibilityBuffer."""
+    space between rounds; default returns an untiled VisibilityBuffer.
+
+    tile_ids: optional (L_pad,) int32 PHYSICAL screen tile per compact tile —
+    `bins` then describes a compacted tile list of length L_pad (the
+    alpha-peel live-tile subset), the kernel grid shrinks to L_pad columns,
+    and tiled=True is required (the tile-major output is in compact order)."""
     ntx, nty = _tile_counts(width, height, tile_h, tile_w)
     ntiles = ntx * nty
-    ntiles_pad = (
-        (ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG
-    ) * TILES_PER_PROG
+    remap = tile_ids is not None
+    if remap:
+        assert tiled, "compact-tile rasterization returns tile-major blocks"
+        ntiles_pad = tile_ids.shape[0]
+        assert ntiles_pad % TILES_PER_PROG == 0
+    else:
+        ntiles_pad = (
+            (ntiles + TILES_PER_PROG - 1) // TILES_PER_PROG
+        ) * TILES_PER_PROG
     npx = tile_h * tile_w
     use_zcap = z_cap is not None
 
@@ -521,8 +545,11 @@ def rasterize_binned(
     if use_zcap:
         in_specs += [col_spec, col_spec]
         inputs += [z_cap, tid_cap]
+    scalars = [bins.offsets, bins.counts, bins.chunk_tile]
+    if remap:
+        scalars.append(tile_ids)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(scalars),
         grid=(ntiles_pad // TILES_PER_PROG,),
         in_specs=in_specs,
         # one column per tile, TILES_PER_PROG columns per program block
@@ -535,7 +562,7 @@ def rasterize_binned(
 
     kernel = functools.partial(
         _raster_kernel, tile_h=tile_h, tile_w=tile_w, ntx=ntx, ntiles=ntiles,
-        use_zcap=use_zcap,
+        use_zcap=use_zcap, remap=remap,
     )
     depth, tri_f, b1, b2, bs = pl.pallas_call(
         kernel,
@@ -552,9 +579,7 @@ def rasterize_binned(
         ),
         interpret=interpret,
     )(
-        bins.offsets,
-        bins.counts,
-        bins.chunk_tile,
+        *scalars,
         *inputs,
     )
     if tiled:
@@ -593,6 +618,9 @@ def rasterize_alpha_peeled(
     tile_h: int = TILE_H,
     tile_w: int = TILE_W,
     unroll_rounds: bool = True,
+    compact_tiles: bool = True,
+    live_tile_cap: int | None = None,
+    sub_block_cap: int | None = None,
 ):
     """Binned raster of the alpha-MASK triangle subset with per-fragment alpha
     kill (gbuf.frag:22-32 semantics) via DEPTH PEELING.
@@ -616,6 +644,19 @@ def rasterize_alpha_peeled(
     two.  Returns an image-space VisibilityBuffer of accepted masked
     fragments (+ the subset binning overflow, merged by the caller into the
     frame's poison guard).
+
+    compact_tiles: rounds 2+ touch only tiles whose previous winner was
+    KILLED (foliage cutout edges — typically a few % of the screen), yet
+    the full-width round re-rasters every subset entry block and
+    alpha-tests the whole image.  With compaction, each later round
+    gathers the live tiles (<= live_tile_cap) and their entry blocks
+    (<= sub_block_cap) into a compacted tile list, rasters it with the
+    remapped kernel (pixel coords from the physical tile, columns
+    compact), alpha-tests only those columns, and scatters the updates
+    back — all index vectors are tile/block-granular (~2k wide at 1080p),
+    so the compaction itself is cheap (the packet-phased pattern,
+    ops/traverse.py).  Exactness is unconditional: if either cap
+    overflows, that round falls back to the full-width body via lax.cond.
     """
     from vulkanhybridrenderer_tpu.ops import shadetab
     from vulkanhybridrenderer_tpu.ops.rasterizer import weights_from_bary
@@ -647,6 +688,14 @@ def rasterize_alpha_peeled(
         killed = has & needs & (alpha < pm["alpha_cutoff"])
         return has & ~killed, killed
 
+    nblocks = bins.entry_data.shape[0]
+    l_cap = live_tile_cap or min(
+        ntiles_pad,
+        max(TILES_PER_PROG,
+            -(-(ntiles_pad // 8) // TILES_PER_PROG) * TILES_PER_PROG),
+    )
+    sb_cap = sub_block_cap or max(2 * GROUP, nblocks // 4)
+
     def round_body(state, first: bool):
         (zcap, captid, fz, ft, f1, f2, fs, live) = state
 
@@ -668,12 +717,91 @@ def rasterize_alpha_peeled(
                 jnp.any(killed),
             )
 
+        def run_live(_):
+            if not compact_tiles or l_cap >= ntiles_pad:
+                return run(None)
+            # ---- live-tile compaction (cheap: every vector here is tile-
+            # or block-granular) ------------------------------------------
+            killed_map = zcap >= 0.0  # peel bounds are z in [0,1] or -big
+            tl = jnp.any(killed_map, axis=0)  # (ntiles_pad,)
+            n_live = jnp.sum(tl.astype(jnp.int32))
+            (idx,) = jnp.nonzero(tl, size=l_cap, fill_value=ntiles_pad)
+            ok = idx < ntiles_pad
+            safe = jnp.minimum(idx, ntiles_pad - 1)
+            off0 = bins.offsets[safe]
+            acnt = jnp.where(ok, bins.offsets[safe + 1] - off0, 0)
+            cnt = jnp.where(ok, bins.counts[safe], 0)
+            nb = acnt // CHUNK
+            cum_b = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(nb).astype(jnp.int32)]
+            )  # (l_cap + 1,) compact block starts
+            total_sb = cum_b[l_cap]
+            ovf = (n_live > l_cap) | (total_sb > sb_cap)
+            # sub-block -> owning compact tile (head-mark + cummax, the
+            # bin_triangles enumeration trick at block granularity)
+            s_iota = jnp.arange(sb_cap, dtype=jnp.int32)
+            heads = jnp.zeros(sb_cap, jnp.int32).at[cum_b[:l_cap]].max(
+                jnp.where(nb > 0, jnp.arange(l_cap, dtype=jnp.int32) + 1, 0),
+                mode="drop",
+            )
+            owner = jnp.clip(jax.lax.cummax(heads) - 1, 0, l_cap - 1)
+            srcb = (off0 // CHUNK)[owner] + (s_iota - cum_b[owner])
+            # + GROUP slack blocks: the kernel's grouped DMA may read up to
+            # GROUP blocks past the last live one (same slack the full
+            # bins build puts in d_total); content is never used
+            srcb = jnp.concatenate([srcb, jnp.zeros(GROUP, jnp.int32)])
+            srcb = jnp.clip(srcb, 0, nblocks - 1)
+
+            def run_compact(_):
+                sub_bins = Bins(
+                    entry_data=bins.entry_data[srcb],  # (sb_cap+GROUP, 16, CHUNK)
+                    offsets=cum_b * CHUNK,
+                    counts=cnt,
+                    chunk_tile=owner,
+                    overflow=bins.overflow,
+                )
+                tile_ids = jnp.where(ok, safe, 0).astype(jnp.int32)
+                gat = lambda a: jnp.take(a, safe, axis=1)  # (npx, l_cap)
+                bz, bt, bb1, bb2, bbs = rasterize_binned(
+                    sub_bins, width, height, tile_h=tile_h, tile_w=tile_w,
+                    interpret=interpret, z_cap=gat(zcap), tid_cap=gat(captid),
+                    tiled=True, tile_ids=tile_ids,
+                )
+                accept, killed = alpha_pass(bt, bb1, bb2, bbs)
+
+                def back(full, new_cols):
+                    old = gat(full)
+                    return full.at[:, idx].set(
+                        jnp.where(accept, new_cols, old), mode="drop"
+                    )
+
+                # non-live tiles are final: their next-round peel bound is
+                # -big (nothing killed), so start from a -big canvas
+                nz = jnp.full_like(zcap, -big).at[:, idx].set(
+                    jnp.where(killed, bz, -big), mode="drop"
+                )
+                nt = jnp.full_like(captid, -big).at[:, idx].set(
+                    jnp.where(killed, bt.astype(jnp.float32), -big),
+                    mode="drop",
+                )
+                return (
+                    nz, nt,
+                    back(fz, bz),
+                    back(ft, bt),
+                    back(f1, bb1),
+                    back(f2, bb2),
+                    back(fs, bbs),
+                    jnp.any(killed),
+                )
+
+            return jax.lax.cond(ovf, run, run_compact, None)
+
         if first:
             return run(None)
         # skip converged rounds entirely (costs nothing when no pixel was
         # killed last round — the common case after round 1)
         return jax.lax.cond(
-            live, run, lambda _: (
+            live, run_live, lambda _: (
                 jnp.full_like(zcap, -big), jnp.full_like(captid, -big),
                 fz, ft, f1, f2, fs, jnp.bool_(False),
             ), None,
