@@ -8,7 +8,9 @@ end-to-end under every feature-gate combination off ONE fixed G-buffer;
 differences attribute each wavefront INCLUSIVE of its shading, and the
 all-off row is the prep/assembly floor.
 
-Run: python scripts/attr_raytrace.py [rt_scale]
+Run: python scripts/attr_raytrace.py [rt_scale] [scene]
+(scene: sponza | realglb | bistro; realglb = the flagship's GLB-loader asset,
+whose 24.9 MB BVH8 table gathers at the HBM rate)
 """
 import sys
 import time
@@ -48,11 +50,23 @@ def main():
     from vulkanhybridrenderer_tpu.scene import procedural
 
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    scene_name = sys.argv[2] if len(sys.argv) > 2 else "sponza"
     import os
     h = int(os.environ.get("H", 1080)); w = int(os.environ.get("W", 1920))
+    if scene_name == "realglb":
+        from vulkanhybridrenderer_tpu.scene import gltf, sample_asset
+
+        glb = "/tmp/vhr_sponza_class.glb"
+        if not os.path.exists(glb):
+            sample_asset.build_sponza_class_glb(glb)
+        sc = gltf.load_scene(glb)
+    elif scene_name == "bistro":
+        sc = procedural.bistro_proxy()
+    else:
+        sc = procedural.sponza_proxy()
     cfg = RenderConfig(width=w, height=h, alpha_raster="off",
                        hybrid=HybridSettings(shadow_mode=ShadowMode.RAYTRACED))
-    r = Renderer(procedural.sponza_proxy(), cfg, path="hybrid")
+    r = Renderer(sc, cfg, path="hybrid")
     pfd = r._make_pfd()
     depth, normal_oid = r.fetch_resource(
         "Depth", "World Space Normals and Object IDs"

@@ -145,6 +145,19 @@ class RenderGraph:
         the reference's per-pass GPU timestamps (render_graph.cpp:189-201).  This
         disables cross-pass fusion, so the sum exceeds the fused frame time; use it
         for attribution, not for the headline number."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        def sync(produced):
+            # block_until_ready can return EARLY on the tunneled TPU runtime
+            # (verified: a 1176 s flagship attribution read back 0.2 ms
+            # passes) — fetching one scalar forces every dispatched op on
+            # the single execution stream to complete (bench.py
+            # methodology).  Costs one ~20 ms round trip per sync, shared
+            # across `iters` frames.
+            leaf = jax.tree_util.tree_leaves(produced)[0]
+            np.asarray(jnp.ravel(leaf)[0])
+
         self.validate(set(resources), target)
         res = dict(resources)
         timings: dict[str, float] = {}
@@ -152,11 +165,11 @@ class RenderGraph:
             p = self._passes[name]
             fitted = jax.jit(p.fn)
             produced = fitted(res)  # compile + warm
-            jax.block_until_ready(produced)
+            sync(produced)
             t0 = time.perf_counter()
             for _ in range(iters):
                 produced = fitted(res)
-            jax.block_until_ready(produced)
+            sync(produced)
             timings[name] = (time.perf_counter() - t0) * 1e3 / iters
             res.update({k: produced[k] for k in p.outputs})
         return timings
