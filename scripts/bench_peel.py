@@ -61,6 +61,7 @@ def main():
             if rounds == 1 and compact:
                 continue  # round 1 is always full-width
 
+            @jax.jit
             def run(rounds=rounds, compact=compact):
                 vis, ovf = rt.rasterize_alpha_peeled(
                     buf, setup, w, h, tables, rounds=rounds,

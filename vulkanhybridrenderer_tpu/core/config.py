@@ -150,6 +150,16 @@ class RenderConfig:
     #: leaf-8 table misses VMEM and the leaf-12 one fits
     #: (runtime/renderer._get_bvh).
     bvh_leaf_max: int = 0
+    #: BVH8 gather-table element type (TPU-native residency lever; the
+    #: reference's hardware BVH has its own driver-side compression,
+    #: resource_manager.cpp:652 PREFER_FAST_TRACE): "f32" = exact table;
+    #: "bf16" = half the bytes (ops/bvh8.py:table_to_bf16 — conservative
+    #: directed-rounded boxes, exact integer lanes, vertices quantized to
+    #: bf16; static scenes only); "auto" = bf16 exactly when the f32 table
+    #: spills the ~15 MB VMEM gather budget while the bf16 one fits (the
+    #: measured over-cliff penalty is 1.65x per gather,
+    #: scripts/bench_vmem_cliff.py) and the scene is static.
+    bvh_dtype: str = "auto"
     # NOTE: no shadow-ray-count knob: the reference's raygen.rgen:39-41 loop
     # re-traces the SAME direction/payload 4x, which is semantically one
     # any-hit trace (ops/raygen.py traces once, bit-equal result).
@@ -166,4 +176,19 @@ class RenderConfig:
                 f"bvh_leaf_max={self.bvh_leaf_max}: the BVH8 row layout "
                 "supports 8 or 12 triangles per leaf (128-float rows), "
                 "or 0 = auto-select by table VMEM residency"
+            )
+        if self.bvh_dtype not in ("auto", "f32", "bf16"):
+            raise ValueError(
+                f"bvh_dtype={self.bvh_dtype!r}: expected 'auto', 'f32' or "
+                "'bf16'"
+            )
+        if self.bvh_dtype == "bf16" and self.bvh_leaf_max == 12:
+            raise ValueError(
+                "bvh_dtype='bf16' needs leaf_max 8 (or 0): the 12-triangle "
+                "row has no free lanes for the 3x8-bit id pieces"
+            )
+        if self.bvh_dtype == "bf16" and self.animated:
+            raise ValueError(
+                "bvh_dtype='bf16' is a static-scene residency lever; "
+                "animated scenes refit f32 rows in-frame (use 'f32'/'auto')"
             )

@@ -302,6 +302,109 @@ def build_bvh8_host(bvh, tri_verts, prefer_native: bool = True,
 VMEM_TABLE_BUDGET_BYTES = 15 << 20
 
 
+def _bf16_directed(x, up: bool):
+    """Conservative bf16 cast of f32 values: result >= x (up) or <= x (down).
+
+    Bit trick: truncating an f32's low 16 bits rounds the magnitude DOWN
+    (toward zero) for any sign; adding 0xFFFF first rounds it UP (away from
+    zero).  Directed rounding = away-from-zero exactly when the sign
+    disagrees with the direction.  Exactly-representable values (low bits
+    zero) are unchanged either way."""
+    import ml_dtypes
+
+    bits = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    away = (bits >> 31).astype(bool) != up  # sign XOR direction
+    bits = np.where(away, bits + np.uint32(0xFFFF), bits) & np.uint32(0xFFFF0000)
+    return (bits >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+
+
+def table_to_bf16(b: BVH8) -> BVH8:
+    """Re-encode the (N, 128) f32 gather table in bf16 — the VMEM-residency
+    lever for scenes whose f32 table spills the ~15 MB gather-fast budget
+    while half the bytes fit (measured 1.65x per-index penalty over the
+    cliff, scripts/bench_vmem_cliff.py / bench_bf16_table.py).
+
+    bf16 layout (decode: ops/traverse.py:_decode_row):
+      internal rows: [0:48] child slabs with DIRECTED rounding (lo down, hi
+        up: every box only grows, so traversal stays conservative — extra
+        false-positive descents, never a missed intersection; the
+        inverted-infinite empty-slot sentinels +-3.0e38 survive truncation
+        inverted).  [48:51] = child-base bytes (lo, mid, hi), [51:54] =
+        offmap bytes: bf16 has 8 significand bits, so 8-bit pieces are
+        exact, and the f32 reassembly lo + mid*256 + hi*65536 is exact
+        below 2^24.
+      leaf rows: [0:72] vertices round-to-nearest RELATIVE to the row's
+        vertex centroid (the one real precision trade: half-ULP 2^-8 of the
+        LEAF extent, not of the global coordinate — ~10x tighter than plain
+        bf16 on off-origin scenes; the cost is sub-quantization cracks
+        where leaves sharing a vertex quantize against different
+        centroids), [72:80] / [80:88] / [88:96] = (tri_id + 1) byte pieces
+        (0 = empty slot), [96:99] = centroid hi bf16, [99:102] = centroid
+        residual (c - f32(hi), a second bf16: combined error ~2^-16
+        relative).  Internal rows keep [96:102] zero, so the decode's
+        centroid add is a no-op for them.
+      [127] flag unchanged (0/1 exact).
+
+    leaf_max must be 8 (12 * 3 id pieces would not fit the row).  Static
+    scenes only — refit8 writes f32 rows (and animated tables are small)."""
+    import ml_dtypes
+
+    assert b.leaf_max == 8, "bf16 rows need lanes [72:96] free (leaf_max=8)"
+    rows = np.asarray(b.rows, np.float32)
+    n = rows.shape[0]
+    leaf = rows[:, 127] > 0.5
+    out = np.zeros((n, 128), ml_dtypes.bfloat16)
+    out[:, 127] = rows[:, 127].astype(ml_dtypes.bfloat16)
+
+    def bytes3(v):
+        v = v.astype(np.int64)
+        return (v & 255), ((v >> 8) & 255), ((v >> 16) & 255)
+
+    # internal rows
+    ri = rows[~leaf]
+    oi = out[~leaf]
+    oi[:, 0:24] = _bf16_directed(ri[:, 0:24], up=False)  # lo slabs
+    oi[:, 24:48] = _bf16_directed(ri[:, 24:48], up=True)  # hi slabs
+    for j, piece in enumerate(bytes3(np.round(ri[:, 48]))):
+        oi[:, 48 + j] = piece.astype(ml_dtypes.bfloat16)
+    for j, piece in enumerate(bytes3(np.round(ri[:, 49]))):
+        oi[:, 51 + j] = piece.astype(ml_dtypes.bfloat16)
+    out[~leaf] = oi
+
+    # leaf rows
+    rl = rows[leaf]
+    ol = out[leaf]
+    ids1 = np.round(rl[:, 72:80]).astype(np.int64) + 1  # -1 (empty) -> 0
+    valid = ids1 > 0  # (L, 8)
+    # per-axis vertex centroid over valid slots (lane k holds axis k % 3)
+    vmask = np.concatenate([valid] * 9, axis=1)  # (L, 72)
+    verts = rl[:, 0:72]
+    cnt = np.maximum(valid.sum(axis=1, keepdims=True) * 3, 1)
+    cen = np.zeros((rl.shape[0], 3), np.float32)
+    for ax in range(3):
+        lanes = np.concatenate(
+            [np.arange(k * 8, k * 8 + 8) for k in range(ax, 9, 3)]
+        )
+        sel = verts[:, lanes] * vmask[:, lanes]
+        cen[:, ax] = sel.sum(axis=1) / np.maximum(
+            vmask[:, lanes].sum(axis=1), 1
+        )
+    del cnt
+    c_hi = cen.astype(ml_dtypes.bfloat16)
+    c_lo = (cen - c_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    cexp = np.concatenate(
+        [cen[:, k % 3:k % 3 + 1].repeat(8, axis=1) for k in range(9)], axis=1
+    )
+    rel = np.where(vmask, verts - cexp, 0.0).astype(np.float32)
+    ol[:, 0:72] = rel.astype(ml_dtypes.bfloat16)  # round-nearest
+    for j, piece in enumerate(bytes3(ids1)):
+        ol[:, 72 + 8 * j:80 + 8 * j] = piece.astype(ml_dtypes.bfloat16)
+    ol[:, 96:99] = c_hi
+    ol[:, 99:102] = c_lo
+    out[leaf] = ol
+    return dataclasses.replace(b, rows=jnp.asarray(out))
+
+
 def build_bvh8_auto(bvh, tri_verts, budget: int = VMEM_TABLE_BUDGET_BYTES
                     ) -> BVH8:
     """leaf_max auto-selection: leaf-8 rows trace fastest when the table is
@@ -334,6 +437,11 @@ def refit8(b: BVH8, tri_verts, sweeps: int | None = None) -> BVH8:
     AABBs stale — silently missed intersections on animated scenes)."""
     if sweeps is None:
         sweeps = b.depth  # static dataclass field: resolvable under jit
+    if b.rows.dtype != jnp.float32:
+        raise ValueError(
+            "refit8 needs an f32 table — bf16 rows (table_to_bf16) are a "
+            "static-scene residency lever; use bvh_dtype='f32' when animating"
+        )
     n = b.num_rows
     lm = b.leaf_max
     is_leaf = b.rows[:, 127] > 0.5

@@ -84,6 +84,54 @@ def ray_octants(direction):
     )
 
 
+def _decode_row(row, lm: int):
+    """Normalize gathered BVH8 rows to f32 + exact integer fields.
+
+    f32 tables store integer lanes as exact floats (< 2^24) directly.  bf16
+    tables (ops/bvh8.py:table_to_bf16 — the VMEM-residency lever for
+    15-30 MB f32 tables) store each integer as three 8-bit pieces, exact in
+    bf16's 8 significand bits; the reassembly below is exact f32 arithmetic.
+    Returns (row_f32, child_base, offmap, tri_ids) with the slab/vertex
+    lanes at the f32 layout's positions in both cases.  Reading base/offmap
+    lanes of LEAF rows (or id lanes of internal rows) yields garbage ints in
+    either encoding — callers mask on the [127] flag exactly as before."""
+    if row.dtype == jnp.bfloat16:
+        rf = row.astype(jnp.float32)
+
+        def i3(lo, mid, hi):
+            return (lo + mid * 256.0 + hi * 65536.0).astype(jnp.int32)
+
+        base = i3(rf[..., 48], rf[..., 49], rf[..., 50])
+        offmap = i3(rf[..., 51], rf[..., 52], rf[..., 53])
+        tri = i3(
+            rf[..., 9 * lm:10 * lm],
+            rf[..., 10 * lm:11 * lm],
+            rf[..., 11 * lm:12 * lm],
+        ) - 1
+        # leaf vertices are centroid-relative; internal rows carry zeros at
+        # the centroid lanes [96:102], so the add is a no-op for them
+        cen = rf[..., 96:99] + rf[..., 99:102]  # (..., 3)
+        cexp = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    cen[..., k % 3:k % 3 + 1], rf.shape[:-1] + (lm,)
+                )
+                for k in range(9)
+            ],
+            axis=-1,
+        )
+        rf = jnp.concatenate(
+            [rf[..., 0:72] + cexp, rf[..., 72:]], axis=-1
+        )
+        return rf, base, offmap, tri
+    return (
+        row,
+        row[..., 48].astype(jnp.int32),
+        row[..., 49].astype(jnp.int32),
+        row[..., 9 * lm:10 * lm].astype(jnp.int32),
+    )
+
+
 def _trace8(
     rows,  # (N, 128) BVH8 table (see ops/bvh8.py layout)
     root: int,
@@ -149,6 +197,7 @@ def _trace8(
         node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps = state
         live = node >= 0
         row = rows[jnp.maximum(node, 0)]  # (R, 128) — THE gather
+        row, base, offmap, tri8 = _decode_row(row, leaf_max)
         is_leaf = row[:, 127] > 0.5
 
         # -- internal: 8-wide slab test ----------------------------------------
@@ -175,8 +224,6 @@ def _trace8(
         mask = jnp.sum(
             jnp.where(hit8, jnp.int32(1) << slots8[None, :], 0), axis=-1
         )
-        base = row[:, 48].astype(jnp.int32)
-        offmap = row[:, 49].astype(jnp.int32)
 
         # -- leaf: leaf_max-wide Möller-Trumbore (slot-major coordinate groups) --
         lm = leaf_max
@@ -204,7 +251,6 @@ def _trace8(
         qz = tvx * e1y - tvy * e1x
         v8 = (dx * qx + dy * qy + dz * qz) * invdet
         t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
-        tri8 = row[:, 9 * lm:10 * lm].astype(jnp.int32)
         ok8 = (
             okd
             & (u8 >= 0.0)
@@ -374,6 +420,7 @@ def _trace8_packet(
         node, sp, stack, stack_b, t_best, tri_best, u_best, v_best, steps = state
         live = node >= 0  # (P,)
         row = rows[jnp.maximum(node, 0)]  # (P, 128) — THE gather (one/packet)
+        row, base, offmap, tri8 = _decode_row(row, leaf_max)
         is_leaf = row[:, 127] > 0.5
         if anyhit:
             ray_active = tri_best < 0
@@ -404,8 +451,6 @@ def _trace8_packet(
             any_s = jnp.any(hit_s, axis=-1) & (lox <= hix)  # empty-slot guard
             mask |= jnp.where(any_s, jnp.int32(1) << s, 0)
         mask = jnp.where(live & ~is_leaf, mask, 0)
-        base = row[:, 48].astype(jnp.int32)
-        offmap = row[:, 49].astype(jnp.int32)
 
         # -- leaf: leaf_max triangles vs all K rays --------------------------
         lm = leaf_max
@@ -441,7 +486,7 @@ def _trace8_packet(
             qz = tvx * e1y - tvy * e1x
             v8 = (dx * qx + dy * qy + dz * qz) * invdet
             t8 = (e2x * qx + e2y * qy + e2z * qz) * invdet
-            tri_s = row[:, 9 * lm + s].astype(jnp.int32)  # (P,)
+            tri_s = tri8[:, s]  # (P,)
             ok = (
                 okd & (u8 >= 0.0) & (v8 >= 0.0) & (u8 + v8 <= 1.0)
                 & (tri_s >= 0)[:, None]

@@ -202,12 +202,34 @@ class Renderer:
             else:
                 binary = bvh_ops.build(tris, leaf_size=1)
             lm = self.config.bvh_leaf_max
-            if lm == 0:  # auto: pick by gather-table VMEM residency
+            dt = self.config.bvh_dtype
+            if lm == 0 and dt != "f32" and not self.config.animated:
+                # auto residency: before falling back to fatter f32 leaf-12
+                # rows, try halving the bytes instead — bf16 leaf-8 keeps the
+                # lower per-leaf-step VPU cost AND restores the VMEM gather
+                # rate for f32 tables in the ~15-30 MB band (realglb: 24.9 MB
+                # f32 -> 12.4 MB bf16; see ops/bvh8.py:table_to_bf16)
+                b8 = bvh8_ops.build_bvh8_host(binary, tris, leaf_max=8)
+                budget = bvh8_ops.VMEM_TABLE_BUDGET_BYTES
+                if dt == "bf16" or (
+                    b8.num_rows * 512 > budget and b8.num_rows * 256 <= budget
+                ):
+                    self._bvh = bvh8_ops.table_to_bf16(b8)
+                elif b8.num_rows * 512 > budget:
+                    # both bf16@8 and f32@8 spill: leaf-12 if THAT fits
+                    # (build_bvh8_auto's rule), else keep the leaf-8 rows
+                    b12 = bvh8_ops.build_bvh8_host(binary, tris, leaf_max=12)
+                    self._bvh = b12 if b12.num_rows * 512 <= budget else b8
+                else:
+                    self._bvh = b8
+            elif lm == 0:
                 self._bvh = bvh8_ops.build_bvh8_auto(binary, tris)
             else:
                 self._bvh = bvh8_ops.build_bvh8_host(
                     binary, tris, leaf_max=lm
                 )
+                if dt == "bf16":
+                    self._bvh = bvh8_ops.table_to_bf16(self._bvh)
         return self._bvh
 
     def _get_shade_tables(self):
